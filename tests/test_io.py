@@ -1,0 +1,121 @@
+import numpy as np
+import pytest
+
+from sphtpu.io import StatsFile, read_snapshot, write_snapshot
+from sphtpu.io.snapshot import _fmt_num, snapshot_path
+
+
+def test_fmt_num_julia_like():
+    assert _fmt_num(10000) == "10000"
+    assert _fmt_num(0.5) == "0.5"
+    assert _fmt_num(1.5e16) == "1.5e16"
+    assert _fmt_num(6.6743e-8) == "6.6743e-8"
+    assert _fmt_num(True) == "true"
+    # floats always keep [eE.] so the Int-vs-Float sniffing stays correct
+    assert any(c in _fmt_num(5e12) for c in "eE.")
+
+
+def test_snapshot_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    n = 17
+    pos = rng.standard_normal((n, 3)) * 1e17
+    vel = rng.standard_normal((n, 3)) * 1e4
+    K = np.abs(rng.standard_normal(n)) * 1e27
+    consts = {
+        "iterID": 3,
+        "N": n,
+        "Kh": 50,
+        "t": 1.5e10,
+        "tEnd": 5e12,
+        "gamma": 5 / 3,
+        "G": 6.67430e-8,
+    }
+    rlin = np.linspace(0, 1.5e17, 11)
+    rho = np.abs(rng.standard_normal(11)) * 1e-18
+
+    path = write_snapshot(
+        "7", "gaussian_sphere", pos, vel, K=K, constants=consts,
+        rlin=rlin, rho_radial=rho, root=str(tmp_path),
+    )
+    assert path == snapshot_path(str(tmp_path), "gaussian_sphere", "7")
+
+    snap = read_snapshot(path)
+    np.testing.assert_allclose(snap["pos"], pos, rtol=0)
+    np.testing.assert_allclose(snap["vel"], vel, rtol=0)
+    np.testing.assert_allclose(snap["K"], K, rtol=0)
+    np.testing.assert_allclose(snap["rlin"], rlin, rtol=0)
+    np.testing.assert_allclose(snap["rho_radial"], rho, rtol=0)
+    # int/float sniffing: iterID/N/Kh stay ints, physics values are floats
+    assert snap["constants"]["iterID"] == 3 and isinstance(snap["constants"]["iterID"], int)
+    assert isinstance(snap["constants"]["t"], float)
+    assert snap["constants"]["tEnd"] == 5e12
+    assert abs(snap["constants"]["gamma"] - 5 / 3) < 1e-15
+
+
+def test_snapshot_isothermal_no_K(tmp_path):
+    pos = np.zeros((4, 3))
+    vel = np.ones((4, 3))
+    path = write_snapshot("1", "plummer", pos, vel, constants={"N": 4}, root=str(tmp_path))
+    snap = read_snapshot(path)
+    assert snap["K"] is None
+    assert snap["rlin"].size == 0
+
+
+def test_read_reference_style_csv(tmp_path):
+    """Parse a hand-written file in the exact textual style Julia CSV.write
+    emits (empty cells for missing, Julia float formatting)."""
+    txt = (
+        "type,x,y,z,vx,vy,vz,K,rlin,rho_radial,constants\n"
+        "particle,1.0e16,-2.5e15,0.0,100.0,-5.5,0.25,1.45e27,,,\n"
+        "particle,-1.0e16,2.5e15,1.0,0.0,0.0,0.0,1.45e27,,,\n"
+        "rlin,,,,,,,,0.0;5.0e15;1.0e16,,\n"
+        "rho_radial,,,,,,,,,1.0e-18;5.0e-19;1.0e-20,\n"
+        "constants,,,,,,,,,,iterID=1;N=2;Kh=50;t=0;tEnd=5.0e12;gamma=1.6666666666666667\n"
+    )
+    p = tmp_path / "1snap.csv"
+    p.write_text(txt)
+    snap = read_snapshot(str(p))
+    assert snap["pos"].shape == (2, 3)
+    assert snap["pos"][0, 0] == 1.0e16
+    assert snap["vel"][0, 2] == 0.25
+    assert snap["K"][1] == 1.45e27
+    assert snap["constants"]["N"] == 2
+    assert snap["constants"]["t"] == 0 and isinstance(snap["constants"]["t"], int)
+    assert len(snap["rlin"]) == 3 and snap["rlin"][1] == 5e15
+
+
+def test_stats_mmap_layout(tmp_path):
+    """Stats file must be column-major on disk (Julia Matrix layout)."""
+    path = str(tmp_path / "stats")
+    sf = StatsFile(path)
+    row = np.arange(10, dtype=np.float64)
+    sf.update_row(1, row)
+    sf.update_row(3, row * 2)
+    sf.sync()
+
+    raw = np.fromfile(path, dtype=np.float64)
+    # column j of the (100000, 10) matrix occupies a contiguous run
+    from sphtpu.io import NSTEPS
+
+    for j in range(10):
+        assert raw[j * NSTEPS + 0] == row[j]
+        assert raw[j * NSTEPS + 2] == row[j] * 2
+
+    hist = sf.up_to(3)
+    assert hist.shape == (3, 10)
+    np.testing.assert_array_equal(hist[0], row)
+    sf.close()
+
+    # reopen appends rather than clobbering
+    sf2 = StatsFile(path)
+    np.testing.assert_array_equal(sf2.up_to(1)[0], row)
+    sf2.close()
+
+
+def test_stats_bounds(tmp_path):
+    sf = StatsFile(str(tmp_path / "stats"))
+    with pytest.raises(IndexError):
+        sf.update_row(0, np.zeros(10))
+    with pytest.raises(IndexError):
+        sf.update_row(100001, np.zeros(10))
+    sf.close()

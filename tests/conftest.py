@@ -3,7 +3,10 @@
 Tests run on CPU with 8 virtual devices so the multi-chip sharding path is
 exercised without TPU hardware, and with x64 enabled so float64 oracle
 comparisons are possible (the engine still takes an explicit dtype).
-Must run before jax is imported anywhere.
+
+Some installed pytest plugins import jax before this conftest runs, so env
+vars alone are not enough — jax.config is updated explicitly too (safe as
+long as no backend has been initialized yet).
 """
 
 import os
@@ -15,3 +18,11 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "1")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_platforms", "cpu")
+
+assert jax.default_backend() == "cpu", "tests must run on CPU"
+assert len(jax.devices()) >= 8, "tests expect 8 virtual CPU devices"

@@ -1,0 +1,126 @@
+"""Command-line driver with the reference flag grammar.
+
+Mirrors sph_manager.jl:10-116:
+
+    python -m sphtpu.cli --generate --EOS polytropic --ic_type gaussian_sphere \
+        --kwargs "N=5000,R=5.38552341e16,Omega_frac=0.25"
+    python -m sphtpu.cli --run --EOS polytropic --ic_type gaussian_sphere \
+        --snapID 1 --snapInterval 5 --keepSnaps true --showPlots false
+
+The kwargs string parses "key=val,key=val" with bool/int/float/str coercion
+(sph_manager.jl:75-98). Extra flags beyond the reference: --root (snapshot
+tree location), --dtype, --max-steps, --quiet.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def parse_kwargs_string(s: str) -> dict:
+    """bool -> int -> float -> str coercion, exactly sph_manager.jl:83-94."""
+    out = {}
+    if not s:
+        return out
+    for kv in s.split(","):
+        k, v = kv.split("=", 1)
+        v_lower = v.lower()
+        if v_lower == "true":
+            parsed = True
+        elif v_lower == "false":
+            parsed = False
+        else:
+            try:
+                parsed = int(v)
+            except ValueError:
+                try:
+                    parsed = float(v)
+                except ValueError:
+                    parsed = v
+        out[k] = parsed
+    return out
+
+
+def _bool_flag(v: str) -> bool:
+    if v.lower() in ("true", "1", "yes"):
+        return True
+    if v.lower() in ("false", "0", "no"):
+        return False
+    raise argparse.ArgumentTypeError(f"expected true/false, got {v!r}")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="sphtpu", description=__doc__)
+    p.add_argument("--generate", action="store_true",
+                   help="Generate initial conditions only")
+    p.add_argument("--run", action="store_true", help="Run simulation")
+    p.add_argument("--EOS", required=True,
+                   help="Equation of State: isothermal or polytropic")
+    p.add_argument("--ic_type", required=True,
+                   help="Type of initial condition (see sphtpu.scenes.IC_TYPES)")
+    p.add_argument("--kwargs", default="",
+                   help="Extra IC kwargs, format key1=val1,key2=val2")
+    p.add_argument("--snapID", type=int, default=1,
+                   help="Snapshot number to use for cold/warm start")
+    p.add_argument("--snapInterval", type=int, default=10,
+                   help="Interval between snapshots (in steps)")
+    p.add_argument("--keepSnaps", type=_bool_flag, default=True,
+                   help="Keep or not the snapshots")
+    p.add_argument("--showPlots", type=_bool_flag, default=True,
+                   help="Only useful when keepSnaps is active")
+    # sphtpu extensions
+    p.add_argument("--root", default=".", help="Snapshot tree root directory")
+    p.add_argument("--dtype", default="float32",
+                   choices=("float32", "float64"),
+                   help="Device compute precision")
+    p.add_argument("--max-steps", type=int, default=None,
+                   help="Stop after this many steps (debug/bench)")
+    p.add_argument("--quiet", action="store_true", help="Suppress per-step prints")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    if args.generate:
+        from .scenes import iniconds_setup
+
+        print(
+            f"Generating {args.EOS} initial conditions for the test case of : "
+            f"{args.ic_type}"
+        )
+        iniconds_setup(
+            args.EOS, args.ic_type, root=args.root, **parse_kwargs_string(args.kwargs)
+        )
+
+    if args.run:
+        if args.EOS not in ("isothermal", "polytropic"):
+            print(
+                f"No EOS of type {args.EOS} exists. Available options are "
+                "either: 'isothermal' or 'polytropic'"
+            )
+            return 1
+        from .engine import run_simulation
+
+        print(
+            f"Running {args.EOS} simulation from snapshot {args.snapID} "
+            f"with IC type: {args.ic_type}"
+        )
+        run_simulation(
+            args.EOS,
+            args.ic_type,
+            snap_id=args.snapID,
+            snap_interval=args.snapInterval,
+            keep_snaps=args.keepSnaps,
+            show_plots=args.showPlots,
+            root=args.root,
+            dtype=args.dtype,
+            max_steps=args.max_steps,
+            verbose=not args.quiet,
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

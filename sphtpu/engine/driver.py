@@ -1,0 +1,232 @@
+"""Host-side simulation driver: warm restart, chunked stepping, snapshots.
+
+The reference has two near-identical driver modules (polytrope_sim.jl,
+isothermal_sim.jl); here one driver reads the snapshot, builds the G=1 code
+unit system, runs the jitted chunk runner between snapshot boundaries, and
+handles stats mmap + snapshot/figure I/O in CGS float64.
+
+Snapshot cadence replicates the reference counter semantics
+(polytrope_sim.jl:124,236,309-311): the counter starts at snapInterval so
+the first step always snapshots, then every snapInterval steps; the final
+step (t >= tEnd) always snapshots. keepSnaps=false suppresses all but the
+final snapshot; showPlots additionally renders PNG figures.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..io import StatsFile, read_snapshot, snapshot_path, write_snapshot
+from ..physics import density_at
+from ..units import UnitSystem
+from .config import EngineConfig, Params, State
+from .step import make_chunk_runner
+
+# plotN per EOS (polytrope_sim.jl:129, isothermal_sim.jl:122)
+PLOT_N = {"polytropic": 10000, "isothermal": 1000}
+
+
+def find_star_radius(rlin: np.ndarray, rho_radial: np.ndarray, threshold: float):
+    """First radius where the profile drops below threshold
+    (polytrope_sim.jl:75-80)."""
+    below = np.flatnonzero(rho_radial < threshold)
+    return rlin[below[0]] if below.size else rlin[-1]
+
+
+def _stats_to_cgs(stats_code: np.ndarray, u: UnitSystem) -> np.ndarray:
+    scale = np.array(
+        [u.T, u.E, u.E, u.E, u.E, u.L, u.L, u.L, u.M * u.V, u.M * u.V * u.L]
+    )
+    return stats_code * scale
+
+
+def run_simulation(
+    eos: str,
+    ic_type: str,
+    snap_id: int = 1,
+    snap_interval: int = 10,
+    keep_snaps: bool = True,
+    show_plots: bool = True,
+    *,
+    root: str = ".",
+    dtype: str = "float32",
+    max_steps: Optional[int] = None,
+    verbose: bool = True,
+) -> dict:
+    """Run from snapshot `snap_id` until tEnd (or max_steps). Returns a
+    summary dict (steps run, final time, last stats row, snapshot ids)."""
+    start_wall = time.time()
+    snap = read_snapshot(snapshot_path(root, ic_type, str(snap_id)))
+    c = dict(snap["constants"])
+    n = int(c["N"])
+    kh = int(c["Kh"])
+    gamma = float(c.get("gamma", 5.0 / 3.0))
+    u = UnitSystem.from_constants(float(c["G"]), float(c["M"]), float(c["R"]))
+
+    cfg = EngineConfig(n=n, kh=kh, eos=eos, dtype=dtype)
+    jd = cfg.jdtype
+
+    if eos == "polytropic":
+        if snap["K"] is None:
+            raise ValueError("polytropic run requires a K column in the snapshot")
+        K_code = np.asarray(snap["K"]) / u.K_entropy(gamma)
+    else:
+        K_code = np.zeros(n)
+
+    params = Params(
+        m=jnp.asarray(c["m"] / u.M, jd),
+        gamma=jnp.asarray(gamma, jd),
+        cs0=jnp.asarray(float(c.get("cs", 0.0)) / u.V, jd),
+        alpha=jnp.asarray(float(c["alpha"]), jd),
+        beta=jnp.asarray(float(c["beta"]), jd),
+        U0=jnp.asarray(float(c.get("U", 0.0)) / u.E, jd),
+        t_end=jnp.asarray(float(c["tEnd"]) / u.T, jd),
+    )
+    state = State(
+        pos=jnp.asarray(snap["pos"] / u.L, jd),
+        vel=jnp.asarray(snap["vel"] / u.V, jd),
+        K=jnp.asarray(K_code, jd),
+        t=jnp.asarray(float(c["t"]) / u.T, jd),
+    )
+
+    chunk = make_chunk_runner(cfg)
+    stats_file = StatsFile(os.path.join(root, "snapshots", ic_type, "stats"))
+
+    # Radial-profile sample line, fixed at startup (polytrope_sim.jl:131 /
+    # isothermal_sim.jl:124).
+    plot_n = PLOT_N[eos]
+    R_cur = float(c["R"])
+    if eos == "polytropic":
+        rlin_code = np.linspace(0.0, 1.5 * R_cur, plot_n) / u.L
+    else:
+        rlin_code = np.linspace(-1.0, 1.0, plot_n) * R_cur / u.L
+
+    iter_id = int(c["iterID"])
+    counter = snap_interval
+    t_end_code = float(c["tEnd"]) / u.T
+    total_steps = 0
+    snapshot_ids = []
+    last_stats_code = None
+
+    def do_snapshot(snap_iter: int, last_row_code: np.ndarray):
+        nonlocal R_cur
+        rcom = last_row_code[5:8]
+        rr = np.stack(
+            [
+                rlin_code + rcom[0],
+                np.full(plot_n, rcom[1]),
+                np.full(plot_n, rcom[2]),
+            ],
+            axis=1,
+        )
+        rho_code = np.asarray(
+            density_at(jnp.asarray(rr, jd), state.pos, params.m, kh),
+            dtype=np.float64,
+        )
+        if eos == "polytropic":
+            r_new = find_star_radius(rlin_code, rho_code, 0.01 * rho_code[0])
+            R_cur = float(r_new * u.L)
+            c["R"] = R_cur
+            c["N"] = n
+        c["iterID"] = snap_iter
+        c["t"] = float(state.t) * u.T
+        stats_file.sync()
+        pos_cgs = np.asarray(state.pos, np.float64) * u.L
+        vel_cgs = np.asarray(state.vel, np.float64) * u.V
+        k_out = (
+            np.asarray(state.K, np.float64) * u.K_entropy(gamma)
+            if eos == "polytropic"
+            else None
+        )
+        write_snapshot(
+            str(snap_iter),
+            ic_type,
+            pos_cgs,
+            vel_cgs,
+            K=k_out,
+            constants=c,
+            rlin=rlin_code * u.L,
+            rho_radial=rho_code * u.RHO,
+            root=root,
+        )
+        if verbose:
+            print(f"Saving snapshot with ID: {snap_iter}")
+        if show_plots:
+            from ..viz import render_snapshot_figures
+
+            render_snapshot_figures(
+                root=root,
+                ic_type=ic_type,
+                snap_id=str(snap_iter),
+                pos_cgs=pos_cgs,
+                rho_cgs=None,
+                R=R_cur,
+                rlin_cgs=rlin_code * u.L,
+                rho_radial_cgs=rho_code * u.RHO,
+                stats_cgs=stats_file.up_to(snap_iter),
+                eos=eos,
+            )
+        snapshot_ids.append(snap_iter)
+
+    while float(state.t) < t_end_code:
+        if max_steps is not None and total_steps >= max_steps:
+            break
+        # steps until the next snapshot boundary (see module docstring)
+        if keep_snaps:
+            n_steps = snap_interval - counter + 1
+        else:
+            n_steps = max(snap_interval, 1)
+        if max_steps is not None:
+            n_steps = min(n_steps, max_steps - total_steps)
+
+        state, stats_code, valid = chunk(state, params, n_steps=n_steps)
+        stats_code = np.asarray(stats_code, np.float64)
+        valid = np.asarray(valid)
+        n_valid = int(valid.sum())
+        if n_valid == 0:
+            break
+        stats_cgs = _stats_to_cgs(stats_code[:n_valid], u)
+        for j in range(n_valid):
+            stats_file.update_row(iter_id + j, stats_cgs[j])
+            if verbose:
+                row = stats_cgs[j]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    vir = abs(row[2] / row[3]) if row[3] != 0 else np.inf
+                print(f"Virial Ratio {vir}")
+                print(f"Time: {row[0]}")
+        last_stats_code = stats_code[n_valid - 1]
+        total_steps += n_valid
+        last_iter = iter_id + n_valid - 1
+        iter_id += n_valid
+        counter = counter + n_valid if not keep_snaps else 1
+
+        at_end = float(state.t) >= t_end_code or (
+            max_steps is not None and total_steps >= max_steps
+        )
+        if (keep_snaps and n_valid == n_steps) or at_end:
+            do_snapshot(last_iter, last_stats_code)
+
+    stats_file.close()
+    runtime = time.time() - start_wall
+    if verbose:
+        print(
+            "TPU engine: blocked kNN for Pressure/AV + all-pairs softened "
+            f"gravity. Runtime: {runtime} seconds"
+        )
+    return {
+        "steps": total_steps,
+        "t_cgs": float(state.t) * u.T,
+        "iter_id": iter_id,
+        "snapshot_ids": snapshot_ids,
+        "last_stats_cgs": _stats_to_cgs(last_stats_code, u)
+        if last_stats_code is not None
+        else None,
+        "runtime_s": runtime,
+        "state": state,
+        "units": u,
+    }

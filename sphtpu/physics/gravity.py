@@ -30,35 +30,40 @@ def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-@functools.partial(jax.jit, static_argnames=("block_q", "block_c"))
-def gravity_allpairs(
-    pos: jnp.ndarray,
-    h: jnp.ndarray,
-    m,
+def gravity_sweep(
+    pos_q: jnp.ndarray,
+    h_q: jnp.ndarray,
+    qid: jnp.ndarray,
+    pos_cols: jnp.ndarray,
+    h_cols: jnp.ndarray,
     *,
     block_q: int = 256,
     block_c: int = 2048,
 ):
-    """Returns (g, PHI): g (N,3) with g_i = sum_j m gphi(r_ij; h_ij) d_ij,
-    PHI (N,) = sum_j m phi(r_ij; h_ij) - (7/5) m / h_i."""
-    n = pos.shape[0]
-    bq = min(block_q, _ceil_to(n, 8))
+    """Blocked pair sweep of M query rows against N candidate columns.
+
+    qid (M,) are the queries' *global* candidate indices, used to exclude
+    the self pair (pass -1 for probe points that are not in the candidate
+    set). Returns (g, phi) per unit mass and G: g_i = sum_j gphi d_ij,
+    phi_i = sum_j phi_ij. The sharded layer calls this with the local row
+    block against the all-gathered global set.
+    """
+    m_q = pos_q.shape[0]
+    n = pos_cols.shape[0]
+    bq = min(block_q, _ceil_to(m_q, 8))
     bc = min(block_c, _ceil_to(n, 128))
-    np_rows = _ceil_to(n, bq)
+    np_rows = _ceil_to(m_q, bq)
     np_cols = _ceil_to(n, bc)
 
-    pos_r = jnp.pad(pos, ((0, np_rows - n), (0, 0)))
-    h_r = jnp.pad(h, (0, np_rows - n), constant_values=1.0)
-    pos_c = jnp.pad(pos, ((0, np_cols - n), (0, 0)))
-    h_c = jnp.pad(h, (0, np_cols - n), constant_values=1.0)
+    pos_r = jnp.pad(pos_q, ((0, np_rows - m_q), (0, 0)))
+    h_r = jnp.pad(h_q, (0, np_rows - m_q), constant_values=1.0)
+    qid_r = jnp.pad(qid.astype(jnp.int32), (0, np_rows - m_q), constant_values=-2)
+    pos_c = jnp.pad(pos_cols, ((0, np_cols - n), (0, 0)))
+    h_c = jnp.pad(h_cols, (0, np_cols - n), constant_values=1.0)
     n_col_blocks = np_cols // bc
 
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (np_rows // bq, bq), 1) + (
-        jax.lax.broadcasted_iota(jnp.int32, (np_rows // bq, bq), 0) * bq
-    )
-
     def row_block(args):
-        qpos, qh, qid = args
+        qpos, qh, qids = args
 
         def col_body(c, carry):
             g_acc, phi_acc = carry
@@ -68,14 +73,14 @@ def gravity_allpairs(
             d = qpos[:, None, :] - cols[None, :, :]  # (bq, bc, 3)
             r = jnp.sqrt(jnp.sum(d * d, axis=-1))
             h_ij = 0.5 * (qh[:, None] + ch[None, :])
-            valid = (cid < n) & (cid != qid[:, None])
+            valid = (cid < n) & (cid != qids[:, None])
             gp = jnp.where(valid, softened_gphi_over_r(r, h_ij), 0.0)
             pp = jnp.where(valid, softened_phi(r, h_ij), 0.0)
             g_acc = g_acc + jnp.sum(gp[..., None] * d, axis=1)
             phi_acc = phi_acc + jnp.sum(pp, axis=1)
             return g_acc, phi_acc
 
-        init = (jnp.zeros((bq, 3), pos.dtype), jnp.zeros((bq,), pos.dtype))
+        init = (jnp.zeros((bq, 3), pos_q.dtype), jnp.zeros((bq,), pos_q.dtype))
         return lax.fori_loop(0, n_col_blocks, col_body, init)
 
     g, phi = lax.map(
@@ -83,9 +88,26 @@ def gravity_allpairs(
         (
             pos_r.reshape(np_rows // bq, bq, 3),
             h_r.reshape(np_rows // bq, bq),
-            row_ids,
+            qid_r.reshape(np_rows // bq, bq),
         ),
     )
-    g = m * g.reshape(np_rows, 3)[:n]
-    phi = m * phi.reshape(np_rows)[:n] - m * 1.4 / h
-    return g, phi
+    return g.reshape(np_rows, 3)[:m_q], phi.reshape(np_rows)[:m_q]
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_c"))
+def gravity_allpairs(
+    pos: jnp.ndarray,
+    h: jnp.ndarray,
+    m,
+    *,
+    block_q: int = 256,
+    block_c: int = 2048,
+):
+    """Single-device entry: (g, PHI) with g_i = sum_j m gphi(r_ij; h_ij)
+    d_ij and PHI_i = sum_j m phi(r_ij; h_ij) - (7/5) m / h_i."""
+    n = pos.shape[0]
+    qid = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+    g, phi = gravity_sweep(
+        pos, h, qid, pos, h, block_q=block_q, block_c=block_c
+    )
+    return m * g, m * phi - m * 1.4 / h

@@ -47,12 +47,11 @@ def _adaptive_dt(p: Params, sf, acc, vel):
     """4-criterion timestep (polytrope_sim.jl:165-174)."""
     vel_r = jnp.sqrt(jnp.sum(vel * vel, axis=1))
     a_r = jnp.sqrt(jnp.sum(acc * acc, axis=1))
-    abs_div_v = jnp.abs(-jnp.sum(p.m * sf.v_dot_dW, axis=1) / sf.rho)
+    abs_div_v = jnp.abs(-sf.div_sum / sf.rho)
     c1 = jnp.min(1.0 / abs_div_v)
     c2 = jnp.min(sf.h / vel_r)
     c3 = jnp.min(jnp.sqrt(sf.h / a_r))
-    mu_max = jnp.max(sf.mu, axis=1)
-    c4 = jnp.min(sf.h / (sf.cs + 1.2 * (p.alpha * sf.cs + p.beta * mu_max)))
+    c4 = jnp.min(sf.h / (sf.cs + 1.2 * (p.alpha * sf.cs + p.beta * sf.mu_max)))
     return 0.3 * jnp.minimum(jnp.minimum(c1, c2), jnp.minimum(c3, c4))
 
 
@@ -93,22 +92,10 @@ def make_step(cfg: EngineConfig):
         pos_half = pos + vel * (dt / 2.0)
         vel_half = vel + acc * (dt / 2.0)
         if cfg.eos == "polytropic":
-            K = evolve_K(
-                K, p.m, sf.idx, sf.Pi, sf.v_dot_dW, p.gamma, sf.rho, dt, sf.self_mask
-            )
+            K = evolve_K(K, sf.visc_dk, p.gamma, sf.rho, dt)
         acc2, sf2, _ = force_eval(cfg, p, pos_half, vel_half, K)
         if cfg.eos == "polytropic":
-            K = evolve_K(
-                K,
-                p.m,
-                sf2.idx,
-                sf2.Pi,
-                sf2.v_dot_dW,
-                p.gamma,
-                sf2.rho,
-                dt,
-                sf2.self_mask,
-            )
+            K = evolve_K(K, sf2.visc_dk, p.gamma, sf2.rho, dt)
         vel_new = vel + acc2 * dt
         pos_new = pos + vel_new * dt - 0.5 * acc2 * dt**2
         return State(pos_new, vel_new, K, state.t + dt), stats

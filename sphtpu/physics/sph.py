@@ -37,6 +37,11 @@ class SphForces(NamedTuple):
     rho: jnp.ndarray  # (N,)
     h: jnp.ndarray  # (N,)
     cs: jnp.ndarray  # (N,) sound speed (broadcast scalar for isothermal)
+    # reduced per-particle quantities (all the step loop actually needs;
+    # unused (N, K) fields are DCE'd under jit)
+    mu_max: jnp.ndarray  # (N,) max_j mu_ij, for the dt criterion
+    div_sum: jnp.ndarray  # (N,) sum_j m v_ij . dW_ij (m * divergence term)
+    visc_dk: jnp.ndarray  # (N,) viscous-heating pair sum for evolve_K
     mu: jnp.ndarray  # (N, K) AV mu_ij
     Pi: jnp.ndarray  # (N, K) AV Pi_ij
     v_dot_dW: jnp.ndarray  # (N, K) v_ij . grad W_ij
@@ -103,25 +108,32 @@ def sph_forces(
     acc = acc.at[idx.reshape(-1)].add(contrib.reshape(-1, 3))
 
     v_dot_dW = jnp.sum(vij * dW, axis=-1)
-    return SphForces(acc, rho, h, cs, mu, Pi, v_dot_dW, idx, self_mask)
+
+    # reductions consumed by the step loop (adaptive dt + evolve_K)
+    mu_max = jnp.max(mu, axis=1)
+    div_sum = jnp.sum(m * v_dot_dW, axis=1)
+    ct_k = jnp.where(self_mask, 0.0, m * Pi * v_dot_dW / 2.0)
+    visc_dk = jnp.sum(ct_k, axis=1)
+    visc_dk = visc_dk.at[idx.reshape(-1)].add(ct_k.reshape(-1))
+
+    return SphForces(
+        acc, rho, h, cs, mu_max, div_sum, visc_dk, mu, Pi, v_dot_dW, idx,
+        self_mask,
+    )
 
 
 def evolve_K(
     Kv: jnp.ndarray,
-    m,
-    idx: jnp.ndarray,
-    Pi: jnp.ndarray,
-    v_dot_dW: jnp.ndarray,
+    visc_dk: jnp.ndarray,
     gamma,
     rho: jnp.ndarray,
     dt,
-    self_mask: jnp.ndarray,
 ) -> jnp.ndarray:
     """Half-step entropy update from viscous heating (evolve_K!,
-    polytrope_hydroKDTree.jl:296-341). Note the reference multiplies by
-    dt/2 internally and is called once per half step."""
-    ct = m * Pi * v_dot_dW / 2.0
-    ct = jnp.where(self_mask, 0.0, ct)
-    dk = jnp.sum(ct, axis=1)
-    dk = dk.at[idx.reshape(-1)].add(ct.reshape(-1))
-    return Kv + (0.5 * (gamma - 1.0) / rho ** (gamma - 1.0) * dk) * (dt / 2.0)
+    polytrope_hydroKDTree.jl:296-341). visc_dk is the symmetrized pair sum
+    sum_j m Pi_ij (v_ij . dW_ij)/2 accumulated to both pair members, as
+    returned by the force evaluation. Note the reference multiplies by dt/2
+    internally and is called once per half step."""
+    return Kv + (0.5 * (gamma - 1.0) / rho ** (gamma - 1.0) * visc_dk) * (
+        dt / 2.0
+    )

@@ -104,27 +104,23 @@ def _local_force_eval(cfg: EngineConfig, p: Params, pos_l, vel_l, K_l, row0):
     phi_l = p.m * phi - p.m * 1.4 / h_l
 
     v_dot_dW = jnp.sum(vij * dW, axis=-1)
+    # reduced per-particle sums; the evolve_K pair sum reduce-scatters its
+    # remote contributions just like the pair force does
+    ct_k = jnp.where(self_mask, 0.0, p.m * Pi * v_dot_dW / 2.0)
+    dk_l = jnp.sum(ct_k, axis=1)
+    kbuf = jnp.zeros((n_global,), pos_l.dtype)
+    kbuf = kbuf.at[idx.reshape(-1)].add(ct_k.reshape(-1))
+    dk_l = dk_l + lax.psum_scatter(kbuf, AXIS, scatter_dimension=0, tiled=True)
+
     return acc_l, dict(
         rho=rho_l,
         h=h_l,
         cs=cs_l,
-        mu=mu,
-        Pi=Pi,
-        v_dot_dW=v_dot_dW,
-        idx=idx,
-        self_mask=self_mask,
+        mu_max=jnp.max(mu, axis=1),
+        div_sum=jnp.sum(p.m * v_dot_dW, axis=1),
+        visc_dk=dk_l,
         phi=phi_l,
     )
-
-
-def _evolve_K_local(K_l, p: Params, aux, n_global: int):
-    ct = p.m * aux["Pi"] * aux["v_dot_dW"] / 2.0
-    ct = jnp.where(aux["self_mask"], 0.0, ct)
-    dk_l = jnp.sum(ct, axis=1)
-    buf = jnp.zeros((n_global,), K_l.dtype)
-    buf = buf.at[aux["idx"].reshape(-1)].add(ct.reshape(-1))
-    dk_l = dk_l + lax.psum_scatter(buf, AXIS, scatter_dimension=0, tiled=True)
-    return dk_l
 
 
 def make_sharded_step(cfg: EngineConfig, mesh: Mesh):
@@ -142,8 +138,8 @@ def make_sharded_step(cfg: EngineConfig, mesh: Mesh):
         # ---- adaptive dt (global min over the mesh) ----
         vel_r2 = jnp.sum(vel_l * vel_l, axis=1)
         a_r = jnp.sqrt(jnp.sum(acc * acc, axis=1))
-        abs_div_v = jnp.abs(-jnp.sum(p.m * aux["v_dot_dW"], axis=1) / aux["rho"])
-        mu_max = jnp.max(aux["mu"], axis=1)
+        abs_div_v = jnp.abs(-aux["div_sum"] / aux["rho"])
+        mu_max = aux["mu_max"]
         local_min = jnp.minimum(
             jnp.minimum(jnp.min(1.0 / abs_div_v), jnp.min(aux["h"] / jnp.sqrt(vel_r2))),
             jnp.minimum(
@@ -180,15 +176,19 @@ def make_sharded_step(cfg: EngineConfig, mesh: Mesh):
         pos_half = pos_l + vel_l * (dt / 2.0)
         vel_half = vel_l + acc * (dt / 2.0)
         if cfg.eos == "polytropic":
-            dk = _evolve_K_local(K_l, p, aux, cfg.n)
             K_l = K_l + (
-                0.5 * (p.gamma - 1.0) / aux["rho"] ** (p.gamma - 1.0) * dk
+                0.5
+                * (p.gamma - 1.0)
+                / aux["rho"] ** (p.gamma - 1.0)
+                * aux["visc_dk"]
             ) * (dt / 2.0)
         acc2, aux2 = _local_force_eval(cfg, p, pos_half, vel_half, K_l, row0)
         if cfg.eos == "polytropic":
-            dk2 = _evolve_K_local(K_l, p, aux2, cfg.n)
             K_l = K_l + (
-                0.5 * (p.gamma - 1.0) / aux2["rho"] ** (p.gamma - 1.0) * dk2
+                0.5
+                * (p.gamma - 1.0)
+                / aux2["rho"] ** (p.gamma - 1.0)
+                * aux2["visc_dk"]
             ) * (dt / 2.0)
         vel_new = vel_l + acc2 * dt
         pos_new = pos_l + vel_new * dt - 0.5 * acc2 * dt**2

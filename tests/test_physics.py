@@ -118,10 +118,7 @@ def test_evolve_K_vs_oracle():
     k_ref = oracle_evolve_K(
         K, m, ref["idx"], ref["Pi"], ref["v_dot_dW"], gamma, ref["rho"], dt
     )
-    k_new = evolve_K(
-        jnp.asarray(K), m, out.idx, out.Pi, out.v_dot_dW, gamma, out.rho, dt,
-        out.self_mask,
-    )
+    k_new = evolve_K(jnp.asarray(K), out.visc_dk, gamma, out.rho, dt)
     np.testing.assert_allclose(np.asarray(k_new), k_ref, rtol=1e-9)
 
 

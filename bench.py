@@ -1,0 +1,114 @@
+"""Headline benchmark: particle-steps/sec on one chip.
+
+Config: Boss-Bodenheimer rotating-cloud collapse (the canonical SPH
+benchmark, BASELINE.json configs[3]) at N=100_000, Kh=50, polytropic EOS —
+the driver metric "particle-steps/sec/chip at N=1e5; ms per
+density+force+gravity pass".
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+vs_baseline is null: the reference publishes no numbers (BASELINE.md) and
+Julia is not present in this image to measure it directly.
+
+Timing methodology: steps run inside one jitted lax.scan chunk and the
+result is fetched to host (block_until_ready does not actually synchronize
+on the axon tunnel backend), so per-dispatch latency is amortized and
+excluded-compile wall time is what a production run sees.
+"""
+
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+N = 100_000
+KH = 50
+WARM_STEPS = 2
+BENCH_STEPS = 4
+
+
+def build_state():
+    from sphtpu import constants as C
+    from sphtpu.engine import EngineConfig, Params, State
+    from sphtpu.scenes.generators import boss_bodenheimer
+    from sphtpu.scenes.setup import DEFAULTS
+    from sphtpu.units import UnitSystem
+
+    rng = np.random.default_rng(42)
+    R = DEFAULTS["R"]
+    M = DEFAULTS["M"]
+    pos, vel, rho_vec = boss_bodenheimer(N, R, M, rng=rng)
+    gamma = DEFAULTS["gamma"]
+    K_cgs = C.KB * DEFAULTS["T"] / (
+        DEFAULTS["mu"] * C.MH * rho_vec[0] ** (gamma - 1.0)
+    )
+    u = UnitSystem.from_constants(C.G_CGS, M, R)
+    jd = jnp.float32
+    cfg = EngineConfig(n=N, kh=KH, eos="polytropic", dtype="float32")
+    params = Params(
+        m=jnp.asarray(M / N / u.M, jd),
+        gamma=jnp.asarray(gamma, jd),
+        cs0=jnp.asarray(0.0, jd),
+        alpha=jnp.asarray(DEFAULTS["alpha"], jd),
+        beta=jnp.asarray(DEFAULTS["beta"], jd),
+        U0=jnp.asarray(0.0, jd),
+        t_end=jnp.asarray(1e30, jd),
+    )
+    state = State(
+        pos=jnp.asarray(pos / u.L, jd),
+        vel=jnp.asarray(vel / u.V, jd),
+        K=jnp.asarray(np.full(N, K_cgs) / u.K_entropy(gamma), jd),
+        t=jnp.asarray(0.0, jd),
+    )
+    return cfg, params, state
+
+
+def fetch(tree):
+    """Force real completion: pull a scalar from every output leaf."""
+    return [np.asarray(leaf).ravel()[:1] for leaf in jax.tree.leaves(tree)]
+
+
+def main():
+    from sphtpu.engine import make_chunk_runner
+
+    cfg, params, state = build_state()
+    chunk = make_chunk_runner(cfg)
+
+    t0 = time.time()
+    state_w, stats, valid = chunk(state, params, n_steps=WARM_STEPS)
+    fetch((stats, valid))
+    compile_and_warm_s = time.time() - t0
+
+    t0 = time.time()
+    state_b, stats, valid = chunk(state_w, params, n_steps=BENCH_STEPS)
+    fetch((stats, valid))
+    elapsed = time.time() - t0
+
+    assert bool(np.asarray(valid).all()), "bench steps must all execute"
+    assert np.isfinite(np.asarray(stats)).all(), "non-finite stats in bench"
+
+    steps_per_sec = BENCH_STEPS / elapsed
+    value = N * steps_per_sec
+    # two full density+force+gravity passes per KDK step
+    ms_per_pass = elapsed / (BENCH_STEPS * 2) * 1e3
+    print(
+        json.dumps(
+            {
+                "metric": "particle-steps/sec/chip at N=1e5 (boss_bodenheimer, polytropic, Kh=50)",
+                "value": round(value, 1),
+                "unit": "particle-steps/s",
+                "vs_baseline": None,
+                "ms_per_force_pass": round(ms_per_pass, 2),
+                "steps_per_sec": round(steps_per_sec, 4),
+                "n_particles": N,
+                "compile_and_warm_s": round(compile_and_warm_s, 1),
+                "backend": jax.default_backend(),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

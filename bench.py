@@ -30,8 +30,11 @@ BENCH_STEPS = 4
 
 
 def build_state():
+    from scipy.spatial import cKDTree
+
     from sphtpu import constants as C
     from sphtpu.engine import EngineConfig, Params, State
+    from sphtpu.physics.tiles import choose_tile_params
     from sphtpu.scenes.generators import boss_bodenheimer
     from sphtpu.scenes.setup import DEFAULTS
     from sphtpu.units import UnitSystem
@@ -46,7 +49,12 @@ def build_state():
     )
     u = UnitSystem.from_constants(C.G_CGS, M, R)
     jd = jnp.float32
-    cfg = EngineConfig(n=N, kh=KH, eos="polytropic", dtype="float32")
+
+    pos_code = pos / u.L
+    d_knn, _ = cKDTree(pos_code).query(pos_code, k=KH)
+    h0 = d_knn[:, -1] / 2.0
+    tile = choose_tile_params(pos_code, h0, KH)
+    cfg = EngineConfig(n=N, kh=KH, eos="polytropic", dtype="float32", tile=tile)
     params = Params(
         m=jnp.asarray(M / N / u.M, jd),
         gamma=jnp.asarray(gamma, jd),
@@ -57,12 +65,12 @@ def build_state():
         t_end=jnp.asarray(1e30, jd),
     )
     state = State(
-        pos=jnp.asarray(pos / u.L, jd),
+        pos=jnp.asarray(pos_code, jd),
         vel=jnp.asarray(vel / u.V, jd),
         K=jnp.asarray(np.full(N, K_cgs) / u.K_entropy(gamma), jd),
         t=jnp.asarray(0.0, jd),
     )
-    return cfg, params, state
+    return cfg, params, state, jnp.asarray(h0, jd)
 
 
 def fetch(tree):
@@ -73,21 +81,22 @@ def fetch(tree):
 def main():
     from sphtpu.engine import make_chunk_runner
 
-    cfg, params, state = build_state()
+    cfg, params, state, h0 = build_state()
     chunk = make_chunk_runner(cfg)
 
     t0 = time.time()
-    state_w, stats, valid = chunk(state, params, n_steps=WARM_STEPS)
-    fetch((stats, valid))
+    state_w, stats, valid, h_w, nfb = chunk(state, params, h0, n_steps=WARM_STEPS)
+    fetch((stats, valid, nfb))
     compile_and_warm_s = time.time() - t0
 
     t0 = time.time()
-    state_b, stats, valid = chunk(state_w, params, n_steps=BENCH_STEPS)
-    fetch((stats, valid))
+    state_b, stats, valid, _, nfb = chunk(state_w, params, h_w, n_steps=BENCH_STEPS)
+    fetch((stats, valid, nfb))
     elapsed = time.time() - t0
 
     assert bool(np.asarray(valid).all()), "bench steps must all execute"
     assert np.isfinite(np.asarray(stats)).all(), "non-finite stats in bench"
+    n_fallback = int(np.asarray(nfb).sum())
 
     steps_per_sec = BENCH_STEPS / elapsed
     value = N * steps_per_sec
@@ -103,6 +112,8 @@ def main():
                 "ms_per_force_pass": round(ms_per_pass, 2),
                 "steps_per_sec": round(steps_per_sec, 4),
                 "n_particles": N,
+                "fallback_evals": n_fallback,
+                "tile_params": list(cfg.tile) if cfg.tile else None,
                 "compile_and_warm_s": round(compile_and_warm_s, 1),
                 "backend": jax.default_backend(),
             }

@@ -25,3 +25,30 @@ TPU; snapshots on disk remain CGS float64 like the reference.
 """
 
 __version__ = "0.1.0"
+
+
+def _enable_compile_cache():
+    """Persistent XLA compilation cache (compiles here run through a slow
+    remote AOT helper — 1-15 min for the larger programs — so caching them
+    across processes matters). Opt out with SPHTPU_NO_COMPILE_CACHE=1 or
+    point SPHTPU_COMPILE_CACHE at a different directory."""
+    import os
+
+    if os.environ.get("SPHTPU_NO_COMPILE_CACHE"):
+        return
+    path = os.environ.get(
+        "SPHTPU_COMPILE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "jax_sphtpu"),
+    )
+    try:
+        os.makedirs(path, exist_ok=True)
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # cache is an optimization, never a hard dependency
+        pass
+
+
+_enable_compile_cache()

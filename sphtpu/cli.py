@@ -74,6 +74,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dtype", default="float32",
                    choices=("float32", "float64"),
                    help="Device compute precision")
+    p.add_argument("--engine", default="auto", choices=("auto", "gather"),
+                   help="auto: cell-tile fast path with certified fallback; "
+                        "gather: neighbor-list engine only")
     p.add_argument("--max-steps", type=int, default=None,
                    help="Stop after this many steps (debug/bench)")
     p.add_argument("--quiet", action="store_true", help="Suppress per-step prints")
@@ -116,6 +119,7 @@ def main(argv=None) -> int:
             show_plots=args.showPlots,
             root=args.root,
             dtype=args.dtype,
+            engine=args.engine,
             max_steps=args.max_steps,
             verbose=not args.quiet,
         )

@@ -19,6 +19,10 @@ class EngineConfig:
     kh: int  # hydro neighbor count (constants "Kh")
     eos: str  # "polytropic" | "isothermal"
     dtype: str = "float32"
+    # masked cell-tile fast path: (grid, cap, window, zchunk) or None for
+    # the gather engine only. The driver re-chooses this per chunk from the
+    # evolving smoothing lengths (each distinct tuple compiles once).
+    tile: tuple = None
 
     def __post_init__(self):
         if self.eos not in ("polytropic", "isothermal"):

@@ -20,9 +20,12 @@ from typing import Optional
 
 import jax.numpy as jnp
 import numpy as np
+from scipy.spatial import cKDTree
 
 from ..io import StatsFile, read_snapshot, snapshot_path, write_snapshot
 from ..physics import density_at
+from ..physics.tiles import choose_tile_params
+from ..profiling import StageTimer
 from ..units import UnitSystem
 from .config import EngineConfig, Params, State
 from .step import make_chunk_runner
@@ -55,11 +58,16 @@ def run_simulation(
     *,
     root: str = ".",
     dtype: str = "float32",
+    engine: str = "auto",
     max_steps: Optional[int] = None,
     verbose: bool = True,
 ) -> dict:
     """Run from snapshot `snap_id` until tEnd (or max_steps). Returns a
-    summary dict (steps run, final time, last stats row, snapshot ids)."""
+    summary dict (steps run, final time, last stats row, snapshot ids).
+
+    engine: "auto" uses the masked cell-tile fast path with certified
+    fallback (grid re-sized per chunk from the evolving h); "gather" forces
+    the neighbor-list engine."""
     start_wall = time.time()
     snap = read_snapshot(snapshot_path(root, ic_type, str(snap_id)))
     c = dict(snap["constants"])
@@ -68,8 +76,8 @@ def run_simulation(
     gamma = float(c.get("gamma", 5.0 / 3.0))
     u = UnitSystem.from_constants(float(c["G"]), float(c["M"]), float(c["R"]))
 
-    cfg = EngineConfig(n=n, kh=kh, eos=eos, dtype=dtype)
-    jd = cfg.jdtype
+    base_cfg = EngineConfig(n=n, kh=kh, eos=eos, dtype=dtype)
+    jd = base_cfg.jdtype
 
     if eos == "polytropic":
         if snap["K"] is None:
@@ -94,7 +102,34 @@ def run_simulation(
         t=jnp.asarray(float(c["t"]) / u.T, jd),
     )
 
-    chunk = make_chunk_runner(cfg)
+    # chunk runners cached per EngineConfig (the tile tuple changes as h
+    # evolves; each distinct config compiles once per process)
+    _runner_cache = {}
+
+    def get_chunk(cfg):
+        if cfg not in _runner_cache:
+            _runner_cache[cfg] = make_chunk_runner(cfg)
+        return _runner_cache[cfg]
+
+    def pick_cfg(h_host: np.ndarray, pos_host: np.ndarray) -> EngineConfig:
+        if engine != "auto":
+            return base_cfg
+        tile = choose_tile_params(pos_host, h_host, kh)
+        return (
+            base_cfg if tile is None else
+            EngineConfig(n=n, kh=kh, eos=eos, dtype=dtype, tile=tile)
+        )
+
+    # bootstrap h for grid sizing (host KD-tree, code units)
+    if engine == "auto":
+        d_knn, _ = cKDTree(np.asarray(snap["pos"] / u.L)).query(
+            np.asarray(snap["pos"] / u.L), k=kh
+        )
+        h_host = d_knn[:, -1] / 2.0
+    else:
+        h_host = np.zeros(n)
+    h_dev = jnp.asarray(h_host, jd)
+
     stats_file = StatsFile(os.path.join(root, "snapshots", ic_type, "stats"))
 
     # Radial-profile sample line, fixed at startup (polytrope_sim.jl:131 /
@@ -173,6 +208,8 @@ def run_simulation(
             )
         snapshot_ids.append(snap_iter)
 
+    timer = StageTimer()
+    total_fallbacks = 0
     while float(state.t) < t_end_code:
         if max_steps is not None and total_steps >= max_steps:
             break
@@ -184,7 +221,18 @@ def run_simulation(
         if max_steps is not None:
             n_steps = min(n_steps, max_steps - total_steps)
 
-        state, stats_code, valid = chunk(state, params, n_steps=n_steps)
+        with timer("pick_grid"):
+            cfg = pick_cfg(h_host, np.asarray(state.pos))
+            chunk = get_chunk(cfg)
+        with timer("chunk_steps"):
+            state, stats_code, valid, h_dev, nfb = chunk(
+                state, params, h_dev, n_steps=n_steps
+            )
+            h_host = np.asarray(h_dev, np.float64)
+        n_fb = int(np.asarray(nfb).sum())
+        total_fallbacks += n_fb
+        if verbose and n_fb:
+            print(f"[neighbors] {n_fb} force evals fell back to the gather engine")
         stats_code = np.asarray(stats_code, np.float64)
         valid = np.asarray(valid)
         n_valid = int(valid.sum())
@@ -209,17 +257,20 @@ def run_simulation(
             max_steps is not None and total_steps >= max_steps
         )
         if (keep_snaps and n_valid == n_steps) or at_end:
-            do_snapshot(last_iter, last_stats_code)
+            with timer("snapshot_io"):
+                do_snapshot(last_iter, last_stats_code)
 
     stats_file.close()
     runtime = time.time() - start_wall
+    timer.report()
     if verbose:
         print(
-            "TPU engine: blocked kNN for Pressure/AV + all-pairs softened "
-            f"gravity. Runtime: {runtime} seconds"
+            "TPU engine: masked cell-tiles for Pressure/AV + all-pairs "
+            f"softened gravity. Runtime: {runtime} seconds"
         )
     return {
         "steps": total_steps,
+        "fallback_evals": total_fallbacks,
         "t_cgs": float(state.t) * u.T,
         "iter_id": iter_id,
         "snapshot_ids": snapshot_ids,

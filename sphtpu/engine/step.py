@@ -6,6 +6,12 @@ chunked under lax.scan so `snapInterval` steps run without host round
 trips. dt is a data-dependent loop carry; snapshot cadence is step-count
 based, so the host slices chunks at snapshot boundaries.
 
+Neighbor engines: when cfg.tile is set, the masked cell-tile fast path
+(sphtpu.physics.tiles) runs first and its per-evaluation exactness
+certificate gates a lax.cond fallback to the gather engine — a stale grid
+costs speed, never correctness. The smoothing lengths ride the scan carry
+as the grid-sizing hint for the next evaluation.
+
 Stats row layout matches polytrope_sim.jl:202:
   [t, T, V, U, Etot, com_x, com_y, com_z, |p|, |L|]  (code units here;
   the driver converts to CGS when writing the mmap).
@@ -21,11 +27,12 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..physics import evolve_K, gravity_allpairs, sph_forces
+from ..physics.tiles import ReducedForces, tile_sph_forces
+from ..profiling import stage
 from .config import EngineConfig, Params, State
 
 
-def force_eval(cfg: EngineConfig, p: Params, pos, vel, K):
-    """Hydro + gravity acceleration (getAcc, polytrope_sim.jl:17-51)."""
+def _gather_reduced(cfg: EngineConfig, p: Params, pos, vel, K) -> ReducedForces:
     sf = sph_forces(
         pos,
         vel,
@@ -38,12 +45,51 @@ def force_eval(cfg: EngineConfig, p: Params, pos, vel, K):
         beta=p.beta,
         kh=cfg.kh,
     )
-    g, phi = gravity_allpairs(pos, sf.h, p.m)
-    acc = sf.acc - g  # G = 1 in code units (driver applies -G*g)
-    return acc, sf, phi
+    return ReducedForces(
+        sf.acc, sf.rho, sf.h, sf.cs, sf.mu_max, sf.div_sum, sf.visc_dk
+    )
 
 
-def _adaptive_dt(p: Params, sf, acc, vel):
+def force_eval(cfg: EngineConfig, p: Params, pos, vel, K, h_hint):
+    """Hydro + gravity acceleration (getAcc, polytrope_sim.jl:17-51).
+
+    Returns (acc, reduced, phi, fell_back)."""
+    if cfg.tile is not None:
+        grid, cap, window, zchunk = cfg.tile
+        tf, ok = tile_sph_forces(
+            pos,
+            vel,
+            p.m,
+            K,
+            h_hint,
+            eos=cfg.eos,
+            gamma=p.gamma,
+            cs0=p.cs0,
+            alpha=p.alpha,
+            beta=p.beta,
+            kh=cfg.kh,
+            grid=grid,
+            cap=cap,
+            window=window,
+            zchunk=zchunk,
+        )
+        red = lax.cond(
+            ok,
+            lambda: tf,
+            lambda: _gather_reduced(cfg, p, pos, vel, K),
+        )
+        fell_back = ~ok
+    else:
+        with stage("hydro_gather"):
+            red = _gather_reduced(cfg, p, pos, vel, K)
+        fell_back = jnp.asarray(False)
+    with stage("gravity"):
+        g, phi = gravity_allpairs(pos, red.h, p.m)
+    acc = red.acc - g  # G = 1 in code units (driver applies -G*g)
+    return acc, red, phi, fell_back
+
+
+def _adaptive_dt(p: Params, sf: ReducedForces, acc, vel):
     """4-criterion timestep (polytrope_sim.jl:165-174)."""
     vel_r = jnp.sqrt(jnp.sum(vel * vel, axis=1))
     a_r = jnp.sqrt(jnp.sum(acc * acc, axis=1))
@@ -79,11 +125,12 @@ def _diagnostics(cfg: EngineConfig, p: Params, state: State, sf, phi, vel_r2):
 
 
 def make_step(cfg: EngineConfig):
-    """Returns step(state, params) -> (state', stats_row)."""
+    """Returns step(state, params, h_hint) -> (state', stats_row, h_new,
+    n_fallbacks)."""
 
-    def step(state: State, p: Params) -> Tuple[State, jnp.ndarray]:
+    def step(state: State, p: Params, h_hint) -> Tuple:
         pos, vel, K = state.pos, state.vel, state.K
-        acc, sf, phi = force_eval(cfg, p, pos, vel, K)
+        acc, sf, phi, fb1 = force_eval(cfg, p, pos, vel, K, h_hint)
         dt = _adaptive_dt(p, sf, acc, vel)
         vel_r2 = jnp.sum(vel * vel, axis=1)
         stats = _diagnostics(cfg, p, state, sf, phi, vel_r2)
@@ -93,37 +140,44 @@ def make_step(cfg: EngineConfig):
         vel_half = vel + acc * (dt / 2.0)
         if cfg.eos == "polytropic":
             K = evolve_K(K, sf.visc_dk, p.gamma, sf.rho, dt)
-        acc2, sf2, _ = force_eval(cfg, p, pos_half, vel_half, K)
+        acc2, sf2, _, fb2 = force_eval(cfg, p, pos_half, vel_half, K, sf.h)
         if cfg.eos == "polytropic":
             K = evolve_K(K, sf2.visc_dk, p.gamma, sf2.rho, dt)
         vel_new = vel + acc2 * dt
         pos_new = pos + vel_new * dt - 0.5 * acc2 * dt**2
-        return State(pos_new, vel_new, K, state.t + dt), stats
+        n_fb = fb1.astype(jnp.int32) + fb2.astype(jnp.int32)
+        return State(pos_new, vel_new, K, state.t + dt), stats, sf2.h, n_fb
 
     return step
 
 
 def make_chunk_runner(cfg: EngineConfig):
-    """Returns chunk(state, params, n_steps) jitted with static n_steps:
-    runs up to n_steps steps, freezing once t >= t_end. Output stats rows
-    carry a validity flag so the host records only executed steps."""
+    """Returns chunk(state, params, h0, n_steps) jitted with static
+    n_steps: runs up to n_steps steps, freezing once t >= t_end. Outputs
+    (state, stats (S,10), valid (S,), h_last, fallbacks (S,))."""
     step = make_step(cfg)
 
     @functools.partial(jax.jit, static_argnames=("n_steps",))
-    def chunk(state: State, p: Params, n_steps: int):
-        def body(st, _):
+    def chunk(state: State, p: Params, h0, n_steps: int):
+        def body(carry, _):
+            st, h = carry
             cont = st.t < p.t_end
 
-            def do(s):
-                return step(s, p)
+            def do(args):
+                s, hh = args
+                s2, stats, h2, nfb = step(s, p, hh)
+                return (s2, h2), stats, nfb
 
-            def skip(s):
-                return s, jnp.zeros((10,), st.pos.dtype)
+            def skip(args):
+                s, hh = args
+                return (s, hh), jnp.zeros((10,), s.pos.dtype), jnp.int32(0)
 
-            st_out, stats = lax.cond(cont, do, skip, st)
-            return st_out, (stats, cont)
+            carry2, stats, nfb = lax.cond(cont, do, skip, (st, h))
+            return carry2, (stats, cont, nfb)
 
-        state_out, (stats, valid) = lax.scan(body, state, None, length=n_steps)
-        return state_out, stats, valid
+        (state_out, h_last), (stats, valid, nfb) = lax.scan(
+            body, (state, h0), None, length=n_steps
+        )
+        return state_out, stats, valid, h_last, nfb
 
     return chunk

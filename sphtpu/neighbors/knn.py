@@ -56,20 +56,21 @@ def knn(
     mp = _ceil_to(m_q, bq)
     npad = _ceil_to(n_c, bc)
     ri_p = jnp.pad(ri, ((0, mp - m_q), (0, 0)))
-    rj_p = jnp.pad(rj, ((0, npad - n_c), (0, 0)))
-    cj_norm2 = jnp.sum(rj_p * rj_p, axis=1)
+    # planar candidate coordinates: (X, 3)-trailing layouts lane-pad 3->128
+    # on TPU, and the matmul form |q|^2+|c|^2-2qc loses the cancellation
+    # battle to the MXU's bf16 multiplies — explicit per-axis diffs are
+    # exact f32 on the VPU
+    cj = [jnp.pad(rj[:, a], (0, npad - n_c)) for a in range(3)]
     n_col_blocks = npad // bc
     big = jnp.asarray(jnp.finfo(ri.dtype).max, ri.dtype)
 
     def row_block(qb):
-        q_norm2 = jnp.sum(qb * qb, axis=1)
-
         def col_body(c, carry):
             best_d, best_i = carry
-            cols = lax.dynamic_slice(rj_p, (c * bc, 0), (bc, 3))
-            cn2 = lax.dynamic_slice(cj_norm2, (c * bc,), (bc,))
-            cross = jnp.dot(qb, cols.T, preferred_element_type=ri.dtype)
-            d2 = q_norm2[:, None] + cn2[None, :] - 2.0 * cross
+            dx = qb[:, 0:1] - lax.dynamic_slice(cj[0], (c * bc,), (bc,))[None, :]
+            dy = qb[:, 1:2] - lax.dynamic_slice(cj[1], (c * bc,), (bc,))[None, :]
+            dz = qb[:, 2:3] - lax.dynamic_slice(cj[2], (c * bc,), (bc,))[None, :]
+            d2 = dx * dx + dy * dy + dz * dz
             col_idx = c * bc + jax.lax.broadcasted_iota(jnp.int32, (1, bc), 1)
             d2 = jnp.where(col_idx < n_c, d2, big)
             cat_d = jnp.concatenate([best_d, d2], axis=1)

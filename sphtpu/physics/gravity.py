@@ -58,7 +58,11 @@ def gravity_sweep(
     pos_r = jnp.pad(pos_q, ((0, np_rows - m_q), (0, 0)))
     h_r = jnp.pad(h_q, (0, np_rows - m_q), constant_values=1.0)
     qid_r = jnp.pad(qid.astype(jnp.int32), (0, np_rows - m_q), constant_values=-2)
-    pos_c = jnp.pad(pos_cols, ((0, np_cols - n), (0, 0)))
+    # planar column coordinates: (X, 3)-trailing arrays lane-pad 3->128 on
+    # TPU, so the pair tile works on per-axis (bq, bc) planes
+    cx = jnp.pad(pos_cols[:, 0], (0, np_cols - n))
+    cy = jnp.pad(pos_cols[:, 1], (0, np_cols - n))
+    cz = jnp.pad(pos_cols[:, 2], (0, np_cols - n))
     h_c = jnp.pad(h_cols, (0, np_cols - n), constant_values=1.0)
     n_col_blocks = np_cols // bc
 
@@ -66,24 +70,28 @@ def gravity_sweep(
         qpos, qh, qids = args
 
         def col_body(c, carry):
-            g_acc, phi_acc = carry
-            cols = lax.dynamic_slice(pos_c, (c * bc, 0), (bc, 3))
+            gx, gy, gz, phi_acc = carry
+            dx = qpos[:, 0:1] - lax.dynamic_slice(cx, (c * bc,), (bc,))[None, :]
+            dy = qpos[:, 1:2] - lax.dynamic_slice(cy, (c * bc,), (bc,))[None, :]
+            dz = qpos[:, 2:3] - lax.dynamic_slice(cz, (c * bc,), (bc,))[None, :]
             ch = lax.dynamic_slice(h_c, (c * bc,), (bc,))
             cid = c * bc + jax.lax.broadcasted_iota(jnp.int32, (1, bc), 1)
-            d = qpos[:, None, :] - cols[None, :, :]  # (bq, bc, 3)
-            r = jnp.sqrt(jnp.sum(d * d, axis=-1))
+            r = jnp.sqrt(dx * dx + dy * dy + dz * dz)
             h_ij = 0.5 * (qh[:, None] + ch[None, :])
             valid = (cid < n) & (cid != qids[:, None])
             gp = jnp.where(valid, softened_gphi_over_r(r, h_ij), 0.0)
             pp = jnp.where(valid, softened_phi(r, h_ij), 0.0)
-            g_acc = g_acc + jnp.sum(gp[..., None] * d, axis=1)
-            phi_acc = phi_acc + jnp.sum(pp, axis=1)
-            return g_acc, phi_acc
+            return (
+                gx + jnp.sum(gp * dx, axis=1),
+                gy + jnp.sum(gp * dy, axis=1),
+                gz + jnp.sum(gp * dz, axis=1),
+                phi_acc + jnp.sum(pp, axis=1),
+            )
 
-        init = (jnp.zeros((bq, 3), pos_q.dtype), jnp.zeros((bq,), pos_q.dtype))
-        return lax.fori_loop(0, n_col_blocks, col_body, init)
+        zero = jnp.zeros((bq,), pos_q.dtype)
+        return lax.fori_loop(0, n_col_blocks, col_body, (zero, zero, zero, zero))
 
-    g, phi = lax.map(
+    gx, gy, gz, phi = lax.map(
         row_block,
         (
             pos_r.reshape(np_rows // bq, bq, 3),
@@ -91,7 +99,10 @@ def gravity_sweep(
             qid_r.reshape(np_rows // bq, bq),
         ),
     )
-    return g.reshape(np_rows, 3)[:m_q], phi.reshape(np_rows)[:m_q]
+    g = jnp.stack(
+        [gx.reshape(np_rows), gy.reshape(np_rows), gz.reshape(np_rows)], axis=1
+    )[:m_q]
+    return g, phi.reshape(np_rows)[:m_q]
 
 
 @functools.partial(jax.jit, static_argnames=("block_q", "block_c"))

@@ -66,8 +66,12 @@ def sph_forces(
     polytrope_hydroKDTree.jl:251-292)."""
     n = pos.shape[0]
     idx, _ = knn(pos, pos, kh)
-    d = pos[:, None, :] - pos[idx]  # (N, K, 3)
-    r = jnp.sqrt(jnp.sum(d * d, axis=-1))
+    # planar (N, K) separation planes: (N, K, 3)-trailing layouts lane-pad
+    # 3 -> 128 on TPU
+    dx = pos[:, 0:1] - pos[:, 0][idx]
+    dy = pos[:, 1:2] - pos[:, 1][idx]
+    dz = pos[:, 2:3] - pos[:, 2][idx]
+    r = jnp.sqrt(dx * dx + dy * dy + dz * dz)
     h = jnp.max(r, axis=1) / 2.0
     hcol = h[:, None]
     q = r / hcol
@@ -86,13 +90,14 @@ def sph_forces(
 
     h_avg = 0.5 * (hcol + h[idx])
     rho_avg = 0.5 * (rho[:, None] + rho[idx])
-    vij = vel[:, None, :] - vel[idx]
-    v_dot_r = jnp.sum(vij * d, axis=-1)
+    vij_x = vel[:, 0:1] - vel[:, 0][idx]
+    vij_y = vel[:, 1:2] - vel[:, 1][idx]
+    vij_z = vel[:, 2:3] - vel[:, 2][idx]
+    v_dot_r = vij_x * dx + vij_y * dy + vij_z * dz
     mu = jnp.minimum(h_avg * v_dot_r / (r * r + 0.01 * h_avg**2), 0.0)
     Pi = (-alpha * cs[:, None] * mu + beta * mu**2) / rho_avg
 
     dWdr = grad_W_over_r(q, r, hcol)
-    dW = dWdr[..., None] * d  # (N, K, 3)
 
     p_over_rho2 = P / rho**2
     if eos == "polytropic":
@@ -103,18 +108,23 @@ def sph_forces(
     self_mask = idx == jnp.arange(n, dtype=idx.dtype)[:, None]
     ct = jnp.where(self_mask, 0.0, ct)
 
-    contrib = ct[..., None] * dW
-    acc = -jnp.sum(contrib, axis=1)
-    acc = acc.at[idx.reshape(-1)].add(contrib.reshape(-1, 3))
+    flat_idx = idx.reshape(-1)
+    coeff = ct * dWdr
+    acc_axes = []
+    for dax in (dx, dy, dz):
+        contrib = coeff * dax
+        a = -jnp.sum(contrib, axis=1)
+        acc_axes.append(a.at[flat_idx].add(contrib.reshape(-1)))
+    acc = jnp.stack(acc_axes, axis=1)
 
-    v_dot_dW = jnp.sum(vij * dW, axis=-1)
+    v_dot_dW = v_dot_r * dWdr
 
     # reductions consumed by the step loop (adaptive dt + evolve_K)
     mu_max = jnp.max(mu, axis=1)
     div_sum = jnp.sum(m * v_dot_dW, axis=1)
     ct_k = jnp.where(self_mask, 0.0, m * Pi * v_dot_dW / 2.0)
     visc_dk = jnp.sum(ct_k, axis=1)
-    visc_dk = visc_dk.at[idx.reshape(-1)].add(ct_k.reshape(-1))
+    visc_dk = visc_dk.at[flat_idx].add(ct_k.reshape(-1))
 
     return SphForces(
         acc, rho, h, cs, mu_max, div_sum, visc_dk, mu, Pi, v_dot_dW, idx,

@@ -1,0 +1,367 @@
+"""Masked cell-tile SPH engine: the gather-free TPU fast path.
+
+Profiling on v5e showed the classic neighbor-list formulation is bound by
+exactly the ops XLA/TPU hates: random gathers (~140M elem/s), scatter-adds
+(same), and wide top_k merges. This engine removes all three:
+
+*   Particles are binned into a dense mono-level grid (edge >= safety *
+    2*max h, chosen by the driver from the previous step's h) and
+    scattered ONCE per field into padded slot planes of shape
+    (G+2, G+2, (G+2)*cap) — z, y, x*cap with a one-cell halo. Every
+    subsequent access is a static/dynamic *slice*: queries are x-windows,
+    candidates the 3x3 (z,y)-shifted stack of the same window — zero
+    gathers in the hot loop.
+*   The exact k-th neighbor distance (the reference's h = r_Kh/2,
+    polytrope_hydroKDTree.jl:151) comes from a 32-step count bisection per
+    query slot followed by a masked max — no top_k, no sort. Ties at the
+    k-th distance are physics-neutral: that neighbor sits at q = 2 exactly,
+    where W and grad W vanish.
+*   The symmetric pair "scatter" of hydroCalculation
+    (polytrope_hydroKDTree.jl:229-245) becomes a second masked term
+    evaluated from the receiver's side: for a pair within mutual cell
+    reach, q accumulates -ct_qc dW(h_q) when c is in knn(q) (forward mask
+    d2 <= r_k(q)^2) and +ct_cq dW(h_c) when q is in knn(c) (reverse mask
+    d2 <= r_k(c)^2). Mono-level certification (r_k <= cell edge for every
+    particle) guarantees both members of every interacting pair see each
+    other as candidates, so this reproduces the scatter exactly — with no
+    scatter.
+
+Exactness is certified per evaluation (slot-capacity overflow, k found,
+r_k <= cell edge); the engine layer falls back to the gather engine when
+certification fails, so a bad grid choice degrades speed, never physics.
+Self-pairs need no special casing: at d = 0 the kernel gradient term is
+identically zero and mu = 0, and the density self-term is included by the
+d2 <= r_k^2 mask just as the reference's kNN list includes self.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..kernels import W, grad_W_over_r
+
+
+class ReducedForces(NamedTuple):
+    acc: jnp.ndarray  # (N, 3) hydro acceleration
+    rho: jnp.ndarray  # (N,)
+    h: jnp.ndarray  # (N,)
+    cs: jnp.ndarray  # (N,)
+    mu_max: jnp.ndarray  # (N,)
+    div_sum: jnp.ndarray  # (N,)
+    visc_dk: jnp.ndarray  # (N,)
+
+
+def choose_tile_params(
+    pos_code,
+    h,
+    kh: int,
+    *,
+    safety: float = 1.05,
+    cap_max: int = 256,
+    headroom: float = 1.25,
+):
+    """Host-side grid sizing from the current positions and smoothing
+    lengths (numpy, runs between chunks).
+
+    Cell edge must be >= safety * 2 * max(h) for mono-level certification;
+    G is rounded down to a window multiple (coarser = safe for the r_k
+    bound) and the slot capacity comes from the *measured* max cell
+    occupancy plus drift headroom. Returns (grid, cap, window, zchunk) —
+    or None when the density contrast needs more capacity than cap_max
+    (caller stays on the gather engine).
+    """
+    import numpy as np
+
+    pos_code = np.asarray(pos_code)
+    h = np.asarray(h)
+    half = float(np.abs(pos_code).max()) * (1 + 1e-6)
+    g_exact = max(2.0 * half / (safety * 2.0 * float(h.max())), 2.0)
+    window = 4 if g_exact >= 16 else 2
+    grid = max(int(g_exact // window) * window, window)
+    s_eff = 2.0 * half / grid
+    c = np.clip((pos_code + half) // s_eff, 0, grid - 1).astype(np.int64)
+    cells = (c[:, 2] * grid + c[:, 1]) * grid + c[:, 0]
+    cmax = int(np.bincount(cells, minlength=grid**3).max())
+    cap = 16
+    while cap < headroom * cmax and cap <= cap_max:
+        cap *= 2
+    if cap > cap_max:
+        return None
+    return grid, cap, window, window
+
+
+def _bin_particles(pos, grid, cap, half):
+    """Cell coords, in-cell ranks and the padded-plane slot index."""
+    n = pos.shape[0]
+    g = grid
+    s = 2.0 * half / g
+    c = jnp.clip(jnp.floor((pos + half) / s).astype(jnp.int32), 0, g - 1)
+    cell = (c[:, 2] * g + c[:, 1]) * g + c[:, 0]
+    order = jnp.argsort(cell)
+    cell_s = cell[order]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+    newseg = jnp.concatenate(
+        [jnp.ones((1,), bool), cell_s[1:] != cell_s[:-1]]
+    )
+    seg_start = jax.lax.cummax(jnp.where(newseg, iota, 0))
+    rank_s = iota - seg_start
+    # back to original particle order
+    rank = jnp.zeros((n,), jnp.int32).at[order].set(rank_s)
+    overflow = jnp.max(rank) >= cap
+    # padded-plane indices (one-cell halo on every axis)
+    pz = c[:, 2] + 1
+    py = c[:, 1] + 1
+    px = (c[:, 0] + 1) * cap + jnp.minimum(rank, cap - 1)
+    return c, rank, (pz, py, px), overflow, s
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("eos", "kh", "grid", "cap", "window", "zchunk"),
+)
+def tile_sph_forces(
+    pos: jnp.ndarray,
+    vel: jnp.ndarray,
+    m,
+    K,
+    h_hint: jnp.ndarray,
+    *,
+    eos: str,
+    gamma,
+    cs0,
+    alpha,
+    beta,
+    kh: int,
+    grid: int,
+    cap: int = 32,
+    window: int = 4,
+    zchunk: int = 4,
+    safety: float = 1.02,
+):
+    """Returns (ReducedForces, ok). ok False => result invalid, caller must
+    use the fallback engine. grid must be divisible by window and zchunk."""
+    n = pos.shape[0]
+    dtype = pos.dtype
+    g = grid
+    if g % window or g % zchunk:
+        raise ValueError("grid must be divisible by window and zchunk")
+    half = jnp.max(jnp.abs(pos)) * (1.0 + 1e-6) + jnp.asarray(1e-30, dtype)
+    coords, rank, (pz, py, px), overflow, s = _bin_particles(pos, g, cap, half)
+    # (the h hint only sizes the grid on the driver side; exactness is
+    # certified from the *found* r_k <= s per row, so a drifting hint can
+    # not silently corrupt results)
+    del h_hint, coords, safety
+
+    gp = g + 2
+    xslots = gp * cap
+    plane_shape = (gp, gp, xslots)
+
+    def to_plane(v, fill=0.0):
+        return jnp.full(plane_shape, fill, dtype).at[pz, py, px].set(
+            v.astype(dtype)
+        )
+
+    X = to_plane(pos[:, 0])
+    Y = to_plane(pos[:, 1])
+    Z = to_plane(pos[:, 2])
+    VX = to_plane(vel[:, 0])
+    VY = to_plane(vel[:, 1])
+    VZ = to_plane(vel[:, 2])
+    MASK = to_plane(jnp.ones((n,), dtype))
+
+    nw = g // window
+    nz = g // zchunk
+    cw = 9 * (window + 2) * cap  # candidate width per query
+    qw = window * cap  # query slots per (z,y) row per window
+    big = jnp.asarray(jnp.finfo(dtype).max, dtype)
+
+    def tile_slices(planes, t):
+        """Slice out one (window, zchunk) tile from each padded plane and
+        build (queries, 9-stacked candidates) views."""
+        w = t // nz
+        zc = t % nz
+        z0 = zc * zchunk
+        x0 = w * window * cap
+        outs = []
+        for p in planes:
+            sub = lax.dynamic_slice(
+                p, (z0, 0, x0), (zchunk + 2, gp, (window + 2) * cap)
+            )
+            q = sub[1 : zchunk + 1, 1 : g + 1, cap : cap + qw]
+            cands = jnp.stack(
+                [
+                    sub[dz : dz + zchunk, dy : dy + g, :]
+                    for dz in range(3)
+                    for dy in range(3)
+                ],
+                axis=2,
+            ).reshape(zchunk, g, cw)
+            outs.append((q, cands))
+        return outs
+
+    kf = jnp.asarray(float(kh), dtype)
+
+    def phase_a(t):
+        """Bisected exact k-th distance + density for one tile."""
+        (qx, cx), (qy, cy), (qz, cz), (qm, cm) = tile_slices(
+            (X, Y, Z, MASK), t
+        )
+        dx = qx[..., None] - cx[:, :, None, :]
+        dy = qy[..., None] - cy[:, :, None, :]
+        dz = qz[..., None] - cz[:, :, None, :]
+        d2 = dx * dx + dy * dy + dz * dz
+        valid = (cm[:, :, None, :] > 0) & (qm[..., None] > 0)
+        d2m = jnp.where(valid, d2, big)
+
+        hi0 = jnp.full(qm.shape, 27.0, dtype) * s * s
+        lo0 = jnp.zeros(qm.shape, dtype)
+
+        def bis(_, lohi):
+            lo, hi = lohi
+            mid = 0.5 * (lo + hi)
+            cnt = jnp.sum(d2m <= mid[..., None], axis=-1).astype(dtype)
+            found = cnt >= kf
+            return jnp.where(found, lo, mid), jnp.where(found, mid, hi)
+
+        lo, hi = lax.fori_loop(0, 32, bis, (lo0, hi0))
+        inw = d2m <= hi[..., None]
+        rk2 = jnp.max(jnp.where(inw, d2m, 0.0), axis=-1)
+        nfound = jnp.sum(d2m <= rk2[..., None], axis=-1)
+        h_t = jnp.sqrt(rk2) / 2.0
+        h_safe = jnp.where(h_t > 0, h_t, 1.0)
+        q_ratio = jnp.sqrt(d2) / h_safe[..., None]
+        w_k = W(q_ratio, h_safe[..., None])
+        rho_t = m * jnp.sum(
+            jnp.where(valid & (d2m <= rk2[..., None]), w_k, 0.0), axis=-1
+        )
+        row_ok = (qm <= 0) | (
+            (nfound >= kh) & (jnp.sqrt(rk2) <= s)
+        )
+        return h_t, rho_t, jnp.all(row_ok)
+
+    h_tiles, rho_tiles, ok_tiles = lax.map(phase_a, jnp.arange(nw * nz))
+
+    def assemble(tiles):
+        # (nw*nz, zchunk, g, qw) -> (g, g, g*cap) unpadded grid
+        t = tiles.reshape(nw, nz, zchunk, g, qw)
+        t = jnp.transpose(t, (1, 2, 3, 0, 4))
+        return t.reshape(g, g, g * cap)
+
+    Hg = assemble(h_tiles)
+    RHOg = assemble(rho_tiles)
+    rows_ok = jnp.all(ok_tiles)
+
+    # derived per-slot fields (no gathers: pure elementwise on the grids)
+    mask_g = jnp.zeros((g, g, g * cap), dtype).at[
+        pz - 1, py - 1, px - cap
+    ].set(1.0)
+    rho_safe = jnp.where(mask_g > 0, RHOg, 1.0)
+    if eos == "polytropic":
+        KPg = jnp.zeros((g, g, g * cap), dtype).at[pz - 1, py - 1, px - cap].set(
+            K.astype(dtype)
+        )
+        POR2g = KPg * rho_safe ** (gamma - 2.0)
+        CSg = jnp.sqrt(gamma * KPg * rho_safe ** (gamma - 1.0))
+    else:
+        POR2g = cs0**2 / rho_safe
+        CSg = jnp.full_like(rho_safe, cs0)
+
+    def pad3(a):
+        return jnp.pad(
+            a.reshape(g, g, g, cap), ((1, 1), (1, 1), (1, 1), (0, 0))
+        ).reshape(gp, gp, xslots)
+
+    Hp = pad3(Hg)
+    RK2p = pad3((2.0 * Hg) ** 2)
+    RHOp = pad3(RHOg)
+    POR2p = pad3(POR2g)
+    CSp = pad3(CSg)
+
+    def phase_b(t):
+        """Forces + reductions for one tile: forward mask = c in knn(q),
+        reverse mask = q in knn(c) — the scatter-free symmetric sum."""
+        views = tile_slices(
+            (X, Y, Z, VX, VY, VZ, MASK, Hp, RK2p, RHOp, POR2p, CSp), t
+        )
+        (qx, cx), (qy, cy), (qz, cz) = views[0:3]
+        (qvx, cvx), (qvy, cvy), (qvz, cvz) = views[3:6]
+        (qm, cm) = views[6]
+        (qh, ch), (qrk2, crk2), (qrho, crho), (qpor2, cpor2), (qcs, ccs) = views[7:12]
+
+        dx = qx[..., None] - cx[:, :, None, :]
+        dy = qy[..., None] - cy[:, :, None, :]
+        dz = qz[..., None] - cz[:, :, None, :]
+        d2 = dx * dx + dy * dy + dz * dz
+        r = jnp.sqrt(d2)
+        valid = (cm[:, :, None, :] > 0) & (qm[..., None] > 0)
+        fwd = valid & (d2 <= qrk2[..., None])
+        rev = valid & (d2 <= crk2[:, :, None, :])
+
+        h_q = jnp.where(qh > 0, qh, 1.0)[..., None]
+        h_c = jnp.where(ch > 0, ch, 1.0)[:, :, None, :]
+        h_avg = 0.5 * (h_q + h_c)
+        rho_avg = 0.5 * (qrho[..., None] + crho[:, :, None, :])
+        rho_avg = jnp.where(valid, rho_avg, 1.0)
+
+        vx = qvx[..., None] - cvx[:, :, None, :]
+        vy = qvy[..., None] - cvy[:, :, None, :]
+        vz = qvz[..., None] - cvz[:, :, None, :]
+        v_dot_r = vx * dx + vy * dy + vz * dz
+        mu = jnp.minimum(h_avg * v_dot_r / (d2 + 0.01 * h_avg**2), 0.0)
+        pi_fwd = (-alpha * qcs[..., None] * mu + beta * mu * mu) / rho_avg
+        pi_rev = (-alpha * ccs[:, :, None, :] * mu + beta * mu * mu) / rho_avg
+
+        dwdr_q = grad_W_over_r(r / h_q, r, h_q)
+        dwdr_c = grad_W_over_r(r / h_c, r, h_c)
+
+        if eos == "polytropic":
+            psum = qpor2[..., None] + cpor2[:, :, None, :]
+            ct_fwd = m * (psum + pi_fwd) / 2.0
+            ct_rev = m * (psum + pi_rev) / 2.0
+        else:
+            ct_fwd = m * (qpor2[..., None] + pi_fwd / 2.0)
+            ct_rev = m * (cpor2[:, :, None, :] + pi_rev / 2.0)
+
+        coeff = -jnp.where(fwd, ct_fwd * dwdr_q, 0.0) - jnp.where(
+            rev, ct_rev * dwdr_c, 0.0
+        )
+        ax = jnp.sum(coeff * dx, axis=-1)
+        ay = jnp.sum(coeff * dy, axis=-1)
+        az = jnp.sum(coeff * dz, axis=-1)
+
+        v_dot_dw_q = v_dot_r * dwdr_q
+        v_dot_dw_c = v_dot_r * dwdr_c
+        div_t = m * jnp.sum(jnp.where(fwd, v_dot_dw_q, 0.0), axis=-1)
+        mu_max_t = jnp.max(jnp.where(fwd, mu, -big), axis=-1)
+        visc_t = jnp.sum(
+            jnp.where(fwd, m * pi_fwd * v_dot_dw_q / 2.0, 0.0)
+            + jnp.where(rev, m * pi_rev * v_dot_dw_c / 2.0, 0.0),
+            axis=-1,
+        )
+        return ax, ay, az, div_t, mu_max_t, visc_t
+
+    ax_t, ay_t, az_t, div_t, mumax_t, visc_t = lax.map(
+        phase_b, jnp.arange(nw * nz)
+    )
+    AXg, AYg, AZg = assemble(ax_t), assemble(ay_t), assemble(az_t)
+    DIVg, MUg, VKg = assemble(div_t), assemble(mumax_t), assemble(visc_t)
+
+    # per-particle extraction (N small gathers per output plane)
+    iz, iy, ix = pz - 1, py - 1, px - cap
+    acc = jnp.stack([AXg[iz, iy, ix], AYg[iz, iy, ix], AZg[iz, iy, ix]], axis=1)
+    out = ReducedForces(
+        acc=acc,
+        rho=RHOg[iz, iy, ix],
+        h=Hg[iz, iy, ix],
+        cs=CSg[iz, iy, ix] if eos == "polytropic" else jnp.full((n,), cs0, dtype),
+        mu_max=MUg[iz, iy, ix],
+        div_sum=DIVg[iz, iy, ix],
+        visc_dk=VKg[iz, iy, ix],
+    )
+    ok = (~overflow) & rows_ok
+    return out, ok

@@ -51,8 +51,11 @@ def _local_force_eval(cfg: EngineConfig, p: Params, pos_l, vel_l, K_l, row0):
     vel_g = lax.all_gather(vel_l, AXIS, tiled=True)
 
     idx, _ = knn(pos_l, pos_g, cfg.kh)  # (nl, K) global indices
-    d = pos_l[:, None, :] - pos_g[idx]
-    r = jnp.sqrt(jnp.sum(d * d, axis=-1))
+    # planar (nl, K) separation planes (trailing-3 layouts lane-pad on TPU)
+    dx = pos_l[:, 0:1] - pos_g[:, 0][idx]
+    dy = pos_l[:, 1:2] - pos_g[:, 1][idx]
+    dz = pos_l[:, 2:3] - pos_g[:, 2][idx]
+    r = jnp.sqrt(dx * dx + dy * dy + dz * dz)
     h_l = jnp.max(r, axis=1) / 2.0
     hcol = h_l[:, None]
     q = r / hcol
@@ -77,13 +80,14 @@ def _local_force_eval(cfg: EngineConfig, p: Params, pos_l, vel_l, K_l, row0):
 
     h_avg = 0.5 * (hcol + h_g[idx])
     rho_avg = 0.5 * (rho_l[:, None] + rho_g[idx])
-    vij = vel_l[:, None, :] - vel_g[idx]
-    v_dot_r = jnp.sum(vij * d, axis=-1)
+    vij_x = vel_l[:, 0:1] - vel_g[:, 0][idx]
+    vij_y = vel_l[:, 1:2] - vel_g[:, 1][idx]
+    vij_z = vel_l[:, 2:3] - vel_g[:, 2][idx]
+    v_dot_r = vij_x * dx + vij_y * dy + vij_z * dz
     mu = jnp.minimum(h_avg * v_dot_r / (r * r + 0.01 * h_avg**2), 0.0)
     Pi = (-p.alpha * cs_l[:, None] * mu + p.beta * mu**2) / rho_avg
 
     dWdr = grad_W_over_r(q, r, hcol)
-    dW = dWdr[..., None] * d
 
     if cfg.eos == "polytropic":
         ct = p.m * (por2_l[:, None] + por2_g[idx] + Pi) / 2.0
@@ -91,19 +95,27 @@ def _local_force_eval(cfg: EngineConfig, p: Params, pos_l, vel_l, K_l, row0):
         ct = p.m * (por2_l[:, None] + Pi / 2.0)
     ct = jnp.where(self_mask, 0.0, ct)
 
-    contrib = ct[..., None] * dW
-    acc_l = -jnp.sum(contrib, axis=1)
     n_global = pos_g.shape[0]
-    buf = jnp.zeros((n_global, 3), pos_l.dtype)
-    buf = buf.at[idx.reshape(-1)].add(contrib.reshape(-1, 3))
-    acc_l = acc_l + lax.psum_scatter(buf, AXIS, scatter_dimension=0, tiled=True)
+    flat_idx = idx.reshape(-1)
+    coeff = ct * dWdr
+    acc_axes = []
+    for dax in (dx, dy, dz):
+        contrib = coeff * dax
+        a = -jnp.sum(contrib, axis=1)
+        buf = jnp.zeros((n_global,), pos_l.dtype).at[flat_idx].add(
+            contrib.reshape(-1)
+        )
+        acc_axes.append(
+            a + lax.psum_scatter(buf, AXIS, scatter_dimension=0, tiled=True)
+        )
+    acc_l = jnp.stack(acc_axes, axis=1)
 
     # gravity: local rows against the gathered global column set
     g, phi = gravity_sweep(pos_l, h_l, gid, pos_g, h_g)
     acc_l = acc_l - p.m * g  # G = 1
     phi_l = p.m * phi - p.m * 1.4 / h_l
 
-    v_dot_dW = jnp.sum(vij * dW, axis=-1)
+    v_dot_dW = v_dot_r * dWdr
     # reduced per-particle sums; the evolve_K pair sum reduce-scatters its
     # remote contributions just like the pair force does
     ct_k = jnp.where(self_mask, 0.0, p.m * Pi * v_dot_dW / 2.0)

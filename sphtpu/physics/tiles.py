@@ -87,9 +87,7 @@ def choose_tile_params(
     c = np.clip((pos_code + half) // s_eff, 0, grid - 1).astype(np.int64)
     cells = (c[:, 2] * grid + c[:, 1]) * grid + c[:, 0]
     cmax = int(np.bincount(cells, minlength=grid**3).max())
-    cap = 16
-    while cap < headroom * cmax and cap <= cap_max:
-        cap *= 2
+    cap = max(16, int(-(-headroom * cmax // 8)) * 8)  # 8-slot granularity
     if cap > cap_max:
         return None
     return grid, cap, window, window
@@ -122,7 +120,7 @@ def _bin_particles(pos, grid, cap, half):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("eos", "kh", "grid", "cap", "window", "zchunk"),
+    static_argnames=("eos", "kh", "grid", "cap", "window", "zchunk", "ychunk"),
 )
 def tile_sph_forces(
     pos: jnp.ndarray,
@@ -141,15 +139,18 @@ def tile_sph_forces(
     cap: int = 32,
     window: int = 4,
     zchunk: int = 4,
+    ychunk: int = 0,
     safety: float = 1.02,
 ):
     """Returns (ReducedForces, ok). ok False => result invalid, caller must
-    use the fallback engine. grid must be divisible by window and zchunk."""
+    use the fallback engine. grid must be divisible by window, zchunk and
+    ychunk (ychunk defaults to zchunk)."""
     n = pos.shape[0]
     dtype = pos.dtype
     g = grid
-    if g % window or g % zchunk:
-        raise ValueError("grid must be divisible by window and zchunk")
+    ychunk = ychunk or zchunk
+    if g % window or g % zchunk or g % ychunk:
+        raise ValueError("grid must be divisible by window/zchunk/ychunk")
     half = jnp.max(jnp.abs(pos)) * (1.0 + 1e-6) + jnp.asarray(1e-30, dtype)
     coords, rank, (pz, py, px), overflow, s = _bin_particles(pos, g, cap, half)
     # (the h hint only sizes the grid on the driver side; exactness is
@@ -176,31 +177,35 @@ def tile_sph_forces(
 
     nw = g // window
     nz = g // zchunk
+    ny = g // ychunk
+    n_tiles = nw * nz * ny
     cw = 9 * (window + 2) * cap  # candidate width per query
     qw = window * cap  # query slots per (z,y) row per window
     big = jnp.asarray(jnp.finfo(dtype).max, dtype)
 
     def tile_slices(planes, t):
-        """Slice out one (window, zchunk) tile from each padded plane and
-        build (queries, 9-stacked candidates) views."""
-        w = t // nz
-        zc = t % nz
-        z0 = zc * zchunk
+        """Slice one (zchunk, ychunk, window) tile from each padded plane
+        and build (queries, 9-stacked candidates) views — pure slices, the
+        only data movement in the hot loop."""
+        w = t // (nz * ny)
+        rem = t % (nz * ny)
+        z0 = (rem // ny) * zchunk
+        y0 = (rem % ny) * ychunk
         x0 = w * window * cap
         outs = []
         for p in planes:
             sub = lax.dynamic_slice(
-                p, (z0, 0, x0), (zchunk + 2, gp, (window + 2) * cap)
+                p, (z0, y0, x0), (zchunk + 2, ychunk + 2, (window + 2) * cap)
             )
-            q = sub[1 : zchunk + 1, 1 : g + 1, cap : cap + qw]
+            q = sub[1 : zchunk + 1, 1 : ychunk + 1, cap : cap + qw]
             cands = jnp.stack(
                 [
-                    sub[dz : dz + zchunk, dy : dy + g, :]
+                    sub[dz : dz + zchunk, dy : dy + ychunk, :]
                     for dz in range(3)
                     for dy in range(3)
                 ],
                 axis=2,
-            ).reshape(zchunk, g, cw)
+            ).reshape(zchunk, ychunk, cw)
             outs.append((q, cands))
         return outs
 
@@ -218,7 +223,10 @@ def tile_sph_forces(
         valid = (cm[:, :, None, :] > 0) & (qm[..., None] > 0)
         d2m = jnp.where(valid, d2, big)
 
-        hi0 = jnp.full(qm.shape, 27.0, dtype) * s * s
+        # certification requires r_k <= s, so the bisection never needs
+        # to resolve anything beyond s^2 (rows with larger r_k come out
+        # with nfound < kh or rk > s and are flagged)
+        hi0 = jnp.full(qm.shape, 1.001, dtype) * s * s
         lo0 = jnp.zeros(qm.shape, dtype)
 
         def bis(_, lohi):
@@ -244,12 +252,12 @@ def tile_sph_forces(
         )
         return h_t, rho_t, jnp.all(row_ok)
 
-    h_tiles, rho_tiles, ok_tiles = lax.map(phase_a, jnp.arange(nw * nz))
+    h_tiles, rho_tiles, ok_tiles = lax.map(phase_a, jnp.arange(n_tiles))
 
     def assemble(tiles):
-        # (nw*nz, zchunk, g, qw) -> (g, g, g*cap) unpadded grid
-        t = tiles.reshape(nw, nz, zchunk, g, qw)
-        t = jnp.transpose(t, (1, 2, 3, 0, 4))
+        # (n_tiles, zchunk, ychunk, qw) -> (g, g, g*cap) unpadded grid
+        t = tiles.reshape(nw, nz, ny, zchunk, ychunk, qw)
+        t = jnp.transpose(t, (1, 3, 2, 4, 0, 5))
         return t.reshape(g, g, g * cap)
 
     Hg = assemble(h_tiles)
@@ -346,7 +354,7 @@ def tile_sph_forces(
         return ax, ay, az, div_t, mu_max_t, visc_t
 
     ax_t, ay_t, az_t, div_t, mumax_t, visc_t = lax.map(
-        phase_b, jnp.arange(nw * nz)
+        phase_b, jnp.arange(n_tiles)
     )
     AXg, AYg, AZg = assemble(ax_t), assemble(ay_t), assemble(az_t)
     DIVg, MUg, VKg = assemble(div_t), assemble(mumax_t), assemble(visc_t)

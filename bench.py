@@ -84,8 +84,11 @@ def main():
     cfg, params, state, h0 = build_state()
     chunk = make_chunk_runner(cfg)
 
+    # warm with the SAME static n_steps as the timed chunk — a different
+    # length is a different XLA program and would compile inside the
+    # timed region
     t0 = time.time()
-    state_w, stats, valid, h_w, nfb = chunk(state, params, h0, n_steps=WARM_STEPS)
+    state_w, stats, valid, h_w, nfb = chunk(state, params, h0, n_steps=BENCH_STEPS)
     fetch((stats, valid, nfb))
     compile_and_warm_s = time.time() - t0
 

@@ -87,7 +87,9 @@ def choose_tile_params(
     c = np.clip((pos_code + half) // s_eff, 0, grid - 1).astype(np.int64)
     cells = (c[:, 2] * grid + c[:, 1]) * grid + c[:, 0]
     cmax = int(np.bincount(cells, minlength=grid**3).max())
-    cap = max(16, int(-(-headroom * cmax // 8)) * 8)  # 8-slot granularity
+    # 32-slot granularity keeps the 9*(window+2)*cap candidate width a
+    # multiple of 128 lanes (misaligned widths cost ~1.5x in relayouts)
+    cap = max(32, int(-(-headroom * cmax // 32)) * 32)
     if cap > cap_max:
         return None
     return grid, cap, window, window

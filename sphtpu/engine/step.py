@@ -26,7 +26,12 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..physics import evolve_K, gravity_allpairs, sph_forces
+from ..physics import (
+    evolve_K,
+    gravity_allpairs,
+    gravity_newton_allpairs,
+    sph_forces,
+)
 from ..physics.tiles import ReducedForces, tile_sph_forces
 from ..profiling import stage
 from .config import EngineConfig, Params, State
@@ -55,8 +60,8 @@ def force_eval(cfg: EngineConfig, p: Params, pos, vel, K, h_hint):
 
     Returns (acc, reduced, phi, fell_back)."""
     if cfg.tile is not None:
-        grid, cap, window, zchunk = cfg.tile
-        tf, ok = tile_sph_forces(
+        grid, cap = cfg.tile
+        tf, gcorr, ok = tile_sph_forces(
             pos,
             vel,
             p.m,
@@ -70,23 +75,29 @@ def force_eval(cfg: EngineConfig, p: Params, pos, vel, K, h_hint):
             kh=cfg.kh,
             grid=grid,
             cap=cap,
-            window=window,
-            zchunk=zchunk,
         )
-        red = lax.cond(
-            ok,
-            lambda: tf,
-            lambda: _gather_reduced(cfg, p, pos, vel, K),
-        )
-        fell_back = ~ok
-    else:
-        with stage("hydro_gather"):
+
+        def tile_branch():
+            # pure-Newtonian global sweep + the tiles' near-field softening
+            # correction == the reference's softened gravity, exactly
+            gn, phin = gravity_newton_allpairs(pos, p.m)
+            g = gn + jnp.stack(gcorr[:3], axis=1)
+            return tf, tf.acc - g, phin + gcorr[3]
+
+        def fallback_branch():
             red = _gather_reduced(cfg, p, pos, vel, K)
-        fell_back = jnp.asarray(False)
+            g, phi = gravity_allpairs(pos, red.h, p.m)
+            return red, red.acc - g, phi
+
+        red, acc, phi = lax.cond(ok, tile_branch, fallback_branch)
+        return acc, red, phi, ~ok
+
+    with stage("hydro_gather"):
+        red = _gather_reduced(cfg, p, pos, vel, K)
     with stage("gravity"):
         g, phi = gravity_allpairs(pos, red.h, p.m)
     acc = red.acc - g  # G = 1 in code units (driver applies -G*g)
-    return acc, red, phi, fell_back
+    return acc, red, phi, jnp.asarray(False)
 
 
 def _adaptive_dt(p: Params, sf: ReducedForces, acc, vel):

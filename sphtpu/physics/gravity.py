@@ -106,6 +106,60 @@ def gravity_sweep(
 
 
 @functools.partial(jax.jit, static_argnames=("block_q", "block_c"))
+def gravity_newton_allpairs(
+    pos: jnp.ndarray,
+    m,
+    *,
+    block_q: int = 256,
+    block_c: int = 2048,
+):
+    """Pure-Newtonian all-pairs sweep (g, PHI), self pair excluded via
+    r = 0, ~3x cheaper per pair than the softened kernels. The tile
+    engine's near-field correction (physics/tiles.py) turns this into the
+    reference's softened gravity exactly."""
+    n = pos.shape[0]
+    bq = min(block_q, _ceil_to(n, 8))
+    bc = min(block_c, _ceil_to(n, 128))
+    np_rows = _ceil_to(n, bq)
+    np_cols = _ceil_to(n, bc)
+
+    pos_r = jnp.pad(pos, ((0, np_rows - n), (0, 0)))
+    cx = jnp.pad(pos[:, 0], (0, np_cols - n))
+    cy = jnp.pad(pos[:, 1], (0, np_cols - n))
+    cz = jnp.pad(pos[:, 2], (0, np_cols - n))
+    n_col_blocks = np_cols // bc
+
+    def row_block(qpos):
+        def col_body(c, carry):
+            gx, gy, gz, phi_acc = carry
+            dx = qpos[:, 0:1] - lax.dynamic_slice(cx, (c * bc,), (bc,))[None, :]
+            dy = qpos[:, 1:2] - lax.dynamic_slice(cy, (c * bc,), (bc,))[None, :]
+            dz = qpos[:, 2:3] - lax.dynamic_slice(cz, (c * bc,), (bc,))[None, :]
+            cid = c * bc + jax.lax.broadcasted_iota(jnp.int32, (1, bc), 1)
+            r2 = dx * dx + dy * dy + dz * dz
+            valid = (cid < n) & (r2 > 0)
+            inv_r = jnp.where(valid, lax.rsqrt(jnp.where(r2 > 0, r2, 1.0)), 0.0)
+            inv_r3 = inv_r * inv_r * inv_r
+            return (
+                gx + jnp.sum(inv_r3 * dx, axis=1),
+                gy + jnp.sum(inv_r3 * dy, axis=1),
+                gz + jnp.sum(inv_r3 * dz, axis=1),
+                phi_acc - jnp.sum(inv_r, axis=1),
+            )
+
+        zero = jnp.zeros((bq,), pos.dtype)
+        return lax.fori_loop(0, n_col_blocks, col_body, (zero, zero, zero, zero))
+
+    gx, gy, gz, phi = lax.map(
+        row_block, pos_r.reshape(np_rows // bq, bq, 3)
+    )
+    g = m * jnp.stack(
+        [gx.reshape(np_rows), gy.reshape(np_rows), gz.reshape(np_rows)], axis=1
+    )[:n]
+    return g, m * phi.reshape(np_rows)[:n]
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_c"))
 def gravity_allpairs(
     pos: jnp.ndarray,
     h: jnp.ndarray,

@@ -43,7 +43,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..kernels import W, grad_W_over_r
+from ..kernels import W, grad_W_over_r, softened_gphi_over_r, softened_phi
 
 
 class ReducedForces(NamedTuple):
@@ -68,31 +68,27 @@ def choose_tile_params(
     """Host-side grid sizing from the current positions and smoothing
     lengths (numpy, runs between chunks).
 
-    Cell edge must be >= safety * 2 * max(h) for mono-level certification;
-    G is rounded down to a window multiple (coarser = safe for the r_k
-    bound) and the slot capacity comes from the *measured* max cell
-    occupancy plus drift headroom. Returns (grid, cap, window, zchunk) —
-    or None when the density contrast needs more capacity than cap_max
-    (caller stays on the gather engine).
+    Cell edge must be >= safety * 2 * max(h) for mono-level certification
+    (rounded down: coarser = safe for the r_k bound) and the slot capacity
+    comes from the *measured* max cell occupancy plus drift headroom.
+    Returns (grid, cap) — or None when the density contrast needs more
+    capacity than cap_max (caller stays on the gather engine).
     """
     import numpy as np
 
     pos_code = np.asarray(pos_code)
     h = np.asarray(h)
     half = float(np.abs(pos_code).max()) * (1 + 1e-6)
-    g_exact = max(2.0 * half / (safety * 2.0 * float(h.max())), 2.0)
-    window = 4 if g_exact >= 16 else 2
-    grid = max(int(g_exact // window) * window, window)
+    grid = max(int(2.0 * half / (safety * 2.0 * float(h.max()))), 2)
     s_eff = 2.0 * half / grid
     c = np.clip((pos_code + half) // s_eff, 0, grid - 1).astype(np.int64)
     cells = (c[:, 2] * grid + c[:, 1]) * grid + c[:, 0]
     cmax = int(np.bincount(cells, minlength=grid**3).max())
-    # 32-slot granularity keeps the 9*(window+2)*cap candidate width a
-    # multiple of 128 lanes (misaligned widths cost ~1.5x in relayouts)
+    # 32-slot granularity keeps candidate widths lane-friendly
     cap = max(32, int(-(-headroom * cmax // 32)) * 32)
     if cap > cap_max:
         return None
-    return grid, cap, window, window
+    return grid, cap
 
 
 def _bin_particles(pos, grid, cap, half):
@@ -139,18 +135,26 @@ def tile_sph_forces(
     kh: int,
     grid: int,
     cap: int = 32,
-    window: int = 4,
-    zchunk: int = 4,
+    window: int = 1,
+    zchunk: int = 1,
     ychunk: int = 0,
     safety: float = 1.02,
 ):
-    """Returns (ReducedForces, ok). ok False => result invalid, caller must
-    use the fallback engine. grid must be divisible by window, zchunk and
-    ychunk (ychunk defaults to zchunk)."""
+    """Returns (ReducedForces, (gx, gy, gz, phi) near-gravity corrections,
+    ok). ok False => result invalid, caller must use the fallback engine.
+    The gravity corrections turn a pure-Newtonian all-pairs sweep into the
+    reference's softened gravity: for pairs with q = r/h_avg <= 2 the tile
+    adds (softened - Newtonian); beyond q = 2 the kernels agree exactly.
+    Certification (r_k <= cell edge => h <= s/2) guarantees every softened
+    pair lies within the 27-cell block. The self slot contributes exactly
+    the -(7/5) m / h self-potential term (softened_phi(0) = -1.4/h).
+
+    grid must be divisible by window/zchunk/ychunk (window/zchunk default
+    to 1 and ychunk to grid — measured fastest, and divisibility-free)."""
     n = pos.shape[0]
     dtype = pos.dtype
     g = grid
-    ychunk = ychunk or zchunk
+    ychunk = ychunk or g
     if g % window or g % zchunk or g % ychunk:
         raise ValueError("grid must be divisible by window/zchunk/ychunk")
     half = jnp.max(jnp.abs(pos)) * (1.0 + 1e-6) + jnp.asarray(1e-30, dtype)
@@ -231,14 +235,23 @@ def tile_sph_forces(
         hi0 = jnp.full(qm.shape, 1.001, dtype) * s * s
         lo0 = jnp.zeros(qm.shape, dtype)
 
+        # 4-ary search: 3 thresholds per pass over d2m, 16 passes reach
+        # f32 ulp on [0, s^2] (memory passes halve vs plain bisection)
         def bis(_, lohi):
             lo, hi = lohi
-            mid = 0.5 * (lo + hi)
-            cnt = jnp.sum(d2m <= mid[..., None], axis=-1).astype(dtype)
-            found = cnt >= kf
-            return jnp.where(found, lo, mid), jnp.where(found, mid, hi)
+            span = hi - lo
+            t1 = lo + 0.25 * span
+            t2 = lo + 0.5 * span
+            t3 = lo + 0.75 * span
+            c1 = jnp.sum(d2m <= t1[..., None], axis=-1).astype(dtype)
+            c2 = jnp.sum(d2m <= t2[..., None], axis=-1).astype(dtype)
+            c3 = jnp.sum(d2m <= t3[..., None], axis=-1).astype(dtype)
+            f1, f2, f3 = c1 >= kf, c2 >= kf, c3 >= kf
+            lo2 = jnp.where(f1, lo, jnp.where(f2, t1, jnp.where(f3, t2, t3)))
+            hi2 = jnp.where(f1, t1, jnp.where(f2, t2, jnp.where(f3, t3, hi)))
+            return lo2, hi2
 
-        lo, hi = lax.fori_loop(0, 32, bis, (lo0, hi0))
+        lo, hi = lax.fori_loop(0, 17, bis, (lo0, hi0))
         inw = d2m <= hi[..., None]
         rk2 = jnp.max(jnp.where(inw, d2m, 0.0), axis=-1)
         nfound = jnp.sum(d2m <= rk2[..., None], axis=-1)
@@ -353,13 +366,28 @@ def tile_sph_forces(
             + jnp.where(rev, m * pi_rev * v_dot_dw_c / 2.0, 0.0),
             axis=-1,
         )
-        return ax, ay, az, div_t, mu_max_t, visc_t
 
-    ax_t, ay_t, az_t, div_t, mumax_t, visc_t = lax.map(
-        phase_b, jnp.arange(n_tiles)
-    )
+        # near-field gravity correction: softened - Newtonian for q <= 2
+        # (identical beyond), against a global pure-Newtonian sweep
+        r_safe = jnp.where(d2 > 0, r, 1.0)
+        newt_g = jnp.where(d2 > 0, 1.0 / r_safe**3, 0.0)
+        newt_p = jnp.where(d2 > 0, -1.0 / r_safe, 0.0)
+        gmask = valid & (r <= 2.0 * h_avg)
+        cgp = jnp.where(gmask, softened_gphi_over_r(r, h_avg) - newt_g, 0.0)
+        cpp = jnp.where(gmask, softened_phi(r, h_avg) - newt_p, 0.0)
+        ggx = m * jnp.sum(cgp * dx, axis=-1)
+        ggy = m * jnp.sum(cgp * dy, axis=-1)
+        ggz = m * jnp.sum(cgp * dz, axis=-1)
+        gphi_t = m * jnp.sum(cpp, axis=-1)
+        return ax, ay, az, div_t, mu_max_t, visc_t, ggx, ggy, ggz, gphi_t
+
+    (ax_t, ay_t, az_t, div_t, mumax_t, visc_t, ggx_t, ggy_t, ggz_t,
+     gphi_t) = lax.map(phase_b, jnp.arange(n_tiles))
     AXg, AYg, AZg = assemble(ax_t), assemble(ay_t), assemble(az_t)
     DIVg, MUg, VKg = assemble(div_t), assemble(mumax_t), assemble(visc_t)
+    GXg, GYg, GZg, GPg = (
+        assemble(ggx_t), assemble(ggy_t), assemble(ggz_t), assemble(gphi_t)
+    )
 
     # per-particle extraction (N small gathers per output plane)
     iz, iy, ix = pz - 1, py - 1, px - cap
@@ -373,5 +401,11 @@ def tile_sph_forces(
         div_sum=DIVg[iz, iy, ix],
         visc_dk=VKg[iz, iy, ix],
     )
+    grav_corr = (
+        GXg[iz, iy, ix],
+        GYg[iz, iy, ix],
+        GZg[iz, iy, ix],
+        GPg[iz, iy, ix],
+    )
     ok = (~overflow) & rows_ok
-    return out, ok
+    return out, grav_corr, ok

@@ -25,7 +25,7 @@ def test_tiles_match_gather_engine(eos):
     pos, vel = _uniform_ball(n)
     d, _ = cKDTree(pos).query(pos, k=kh)
     h_true = d[:, -1] / 2
-    g, cap, window, zchunk = choose_tile_params(pos, h_true, kh)
+    g, cap = choose_tile_params(pos, h_true, kh)
     K = 1.0 + 0.2 * np.random.default_rng(1).random(n)
     kw = dict(gamma=5 / 3, cs0=0.6, alpha=1.0, beta=2.0, kh=kh)
     m = 1.0 / n
@@ -33,7 +33,7 @@ def test_tiles_match_gather_engine(eos):
     ref = sph_forces(
         jnp.asarray(pos), jnp.asarray(vel), m, jnp.asarray(K), eos=eos, **kw
     )
-    out, ok = tile_sph_forces(
+    out, gcorr, ok = tile_sph_forces(
         jnp.asarray(pos),
         jnp.asarray(vel),
         m,
@@ -42,11 +42,22 @@ def test_tiles_match_gather_engine(eos):
         eos=eos,
         grid=g,
         cap=cap,
-        window=window,
-        zchunk=zchunk,
         **kw,
     )
     assert bool(ok), f"tile engine failed certification at grid={g}"
+
+    # gravity split: Newtonian sweep + tile correction == softened all-pairs
+    from sphtpu.physics import gravity_allpairs, gravity_newton_allpairs
+
+    g_soft, phi_soft = gravity_allpairs(jnp.asarray(pos), out.h, m)
+    g_newt, phi_newt = gravity_newton_allpairs(jnp.asarray(pos), m)
+    g_split = np.asarray(g_newt) + np.stack([np.asarray(x) for x in gcorr[:3]], 1)
+    phi_split = np.asarray(phi_newt) + np.asarray(gcorr[3])
+    np.testing.assert_allclose(
+        g_split, np.asarray(g_soft), rtol=1e-9,
+        atol=1e-11 * np.abs(np.asarray(g_soft)).max(),
+    )
+    np.testing.assert_allclose(phi_split, np.asarray(phi_soft), rtol=1e-10)
     np.testing.assert_allclose(np.asarray(out.h), np.asarray(ref.h), rtol=1e-12)
     np.testing.assert_allclose(np.asarray(out.rho), np.asarray(ref.rho), rtol=1e-12)
     np.testing.assert_allclose(np.asarray(out.cs), np.asarray(ref.cs), rtol=1e-12)
@@ -76,13 +87,13 @@ def test_tiles_certification_fails_on_bad_grid():
         eos="polytropic", gamma=5 / 3, cs0=0.0, alpha=1.0, beta=2.0, kh=kh
     )
     # far too fine: r_k > cell edge
-    _, ok_fine = tile_sph_forces(
+    _, _, ok_fine = tile_sph_forces(
         jnp.asarray(pos), jnp.asarray(vel), 1.0 / n, K,
         jnp.asarray(h_true), grid=64, cap=8, **kw,
     )
     assert not bool(ok_fine)
     # far too coarse: occupancy blows the slot capacity
-    _, ok_coarse = tile_sph_forces(
+    _, _, ok_coarse = tile_sph_forces(
         jnp.asarray(pos), jnp.asarray(vel), 1.0 / n, K,
         jnp.asarray(h_true), grid=4, cap=8, **kw,
     )

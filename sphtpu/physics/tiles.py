@@ -235,8 +235,11 @@ def tile_sph_forces(
         hi0 = jnp.full(qm.shape, 1.001, dtype) * s * s
         lo0 = jnp.zeros(qm.shape, dtype)
 
-        # 4-ary search: 3 thresholds per pass over d2m, 16 passes reach
-        # f32 ulp on [0, s^2] (memory passes halve vs plain bisection)
+        # 4-ary search: 3 thresholds per pass over d2m, 17 passes reach
+        # f32 ulp on [0, s^2]. (A 16-ary variant with per-element bucket
+        # digits measured 15x SLOWER — the digit tensor materializes and
+        # its per-bucket reductions don't fuse; keep selection as plain
+        # fused compare+sum sweeps.)
         def bis(_, lohi):
             lo, hi = lohi
             span = hi - lo

@@ -109,19 +109,37 @@ def write_snapshot(
         if kcol.shape != (n,):
             raise ValueError(f"K must have shape ({n},), got {kcol.shape}")
 
-    lines = [",".join(COLUMNS)]
-    empty_tail = ",,,"  # K,rlin,rho_radial,constants all missing
-    for i in range(n):
-        nums = (
-            _fmt_num(pos[i, 0]),
-            _fmt_num(pos[i, 1]),
-            _fmt_num(pos[i, 2]),
-            _fmt_num(vel[i, 0]),
-            _fmt_num(vel[i, 1]),
-            _fmt_num(vel[i, 2]),
+    # Bulk particle rows go through the native codec (fastcsv.c via
+    # ctypes): snprintf("%.17g") per value gives exact float64 round-trip
+    # and is ~50x faster than Python/pandas formatting at N=2e6. Fallback:
+    # pandas' C writer with the same format string. The constants row below
+    # keeps Julia-style formatting that the Int-vs-Float sniffing needs.
+    from .native import format_particles
+
+    block = np.hstack([pos, vel] + ([kcol[:, None]] if kcol is not None else []))
+    body_bytes = format_particles(block)
+    if body_bytes is not None:
+        body = body_bytes.decode("ascii")
+    else:
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                "type": np.full(n, "particle"),
+                "x": pos[:, 0],
+                "y": pos[:, 1],
+                "z": pos[:, 2],
+                "vx": vel[:, 0],
+                "vy": vel[:, 1],
+                "vz": vel[:, 2],
+                "K": kcol if kcol is not None else np.full(n, "", dtype=object),
+                "rlin": np.full(n, ""),
+                "rho_radial": np.full(n, ""),
+                "constants": np.full(n, ""),
+            }
         )
-        k = _fmt_num(kcol[i]) if kcol is not None else ""
-        lines.append(f"particle,{','.join(nums)},{k},,,")
+        body = df.to_csv(index=False, header=False, float_format="%.17g")
+    lines = [",".join(COLUMNS), body.rstrip("\n")]
 
     if rlin is not None and len(rlin) > 0:
         ser = ";".join(_fmt_num(v) for v in np.asarray(rlin, dtype=np.float64))
@@ -151,47 +169,70 @@ def read_snapshot(path: str) -> Dict:
     rho_radial (float64 arrays, possibly empty), constants (dict).
     Mirrors SnapshotRW.read_snapshot (SnapshotRW.jl:123-159).
     """
-    pos_rows, vel_rows, k_rows = [], [], []
+    with open(path, "rb") as f:
+        raw = f.read()
+
+    header_end = raw.find(b"\n")
+    header = raw[:header_end].decode().split(",")
+    has_k = "K" in header
+    ncols = 7 if has_k else 6
+
+    # particle block: contiguous rows right after the header; the handful
+    # of special rows (rlin/rho_radial/constants) follow it
+    first = raw.find(b"particle,", header_end)
+    if first >= 0:
+        last = raw.rfind(b"\nparticle,")
+        last = first if last < 0 else last + 1
+        block_end = raw.find(b"\n", last)
+        block_end = len(raw) if block_end < 0 else block_end + 1
+        body = raw[first:block_end]
+        n_rows = body.count(b"particle,")
+        tail = raw[block_end:]
+    else:
+        body, n_rows, tail = b"", 0, raw[header_end + 1 :]
+
+    from .native import parse_particles
+
+    block = parse_particles(body, n_rows, ncols) if n_rows else np.empty((0, ncols))
+    if block is None:  # no native toolchain: exact-parse fallback
+        import io as _io
+
+        import pandas as pd
+
+        block = pd.read_csv(
+            _io.BytesIO(body),
+            header=None,
+            usecols=range(1, 1 + ncols),
+            float_precision="round_trip",
+        ).to_numpy(dtype=np.float64)
+
+    pos = block[:, 0:3]
+    vel = block[:, 3:6]
+    if has_k and n_rows:
+        karr = block[:, 6]
+        K = None if np.isnan(karr).all() else karr
+    else:
+        K = None
+
     rlin = np.empty(0)
     rho_radial = np.empty(0)
     constants: Dict = {}
-
-    with open(path, "r") as f:
-        header = f.readline().strip().split(",")
-        idx = {name: i for i, name in enumerate(header)}
-        for line in f:
-            line = line.rstrip("\n")
-            if not line:
-                continue
-            cells = line.split(",")
-            row_type = cells[idx["type"]]
-            if row_type == "particle":
-                pos_rows.append(
-                    (cells[idx["x"]], cells[idx["y"]], cells[idx["z"]])
-                )
-                vel_rows.append(
-                    (cells[idx["vx"]], cells[idx["vy"]], cells[idx["vz"]])
-                )
-                kcell = cells[idx["K"]] if "K" in idx else ""
-                k_rows.append(float(kcell) if kcell != "" else np.nan)
-            elif row_type == "rlin":
-                rlin = np.array(
-                    [float(v) for v in cells[idx["rlin"]].split(";")], dtype=np.float64
-                )
-            elif row_type == "rho_radial":
-                rho_radial = np.array(
-                    [float(v) for v in cells[idx["rho_radial"]].split(";")],
-                    dtype=np.float64,
-                )
-            elif row_type == "constants":
-                for pair in cells[idx["constants"]].split(";"):
-                    k, v = pair.split("=", 1)
-                    constants[k] = _parse_const(v)
-
-    pos = np.array(pos_rows, dtype=np.float64)
-    vel = np.array(vel_rows, dtype=np.float64)
-    karr = np.array(k_rows, dtype=np.float64)
-    K = None if np.isnan(karr).all() else karr
+    idx = {name: i for i, name in enumerate(header)}
+    for line in tail.decode().splitlines():
+        if not line:
+            continue
+        cells = line.split(",")
+        row_type = cells[idx["type"]]
+        if row_type == "rlin":
+            rlin = np.fromstring(cells[idx["rlin"]], sep=";", dtype=np.float64)
+        elif row_type == "rho_radial":
+            rho_radial = np.fromstring(
+                cells[idx["rho_radial"]], sep=";", dtype=np.float64
+            )
+        elif row_type == "constants":
+            for pair in cells[idx["constants"]].split(";"):
+                k, v = pair.split("=", 1)
+                constants[k] = _parse_const(v)
     return {
         "pos": pos,
         "vel": vel,

@@ -88,12 +88,12 @@ def main():
     # length is a different XLA program and would compile inside the
     # timed region
     t0 = time.time()
-    state_w, stats, valid, h_w, nfb = chunk(state, params, h0, n_steps=BENCH_STEPS)
+    state_w, stats, valid, h_w, _, nfb = chunk(state, params, h0, n_steps=BENCH_STEPS)
     fetch((stats, valid, nfb))
     compile_and_warm_s = time.time() - t0
 
     t0 = time.time()
-    state_b, stats, valid, _, nfb = chunk(state_w, params, h_w, n_steps=BENCH_STEPS)
+    state_b, stats, valid, _, _, nfb = chunk(state_w, params, h_w, n_steps=BENCH_STEPS)
     fetch((stats, valid, nfb))
     elapsed = time.time() - t0
 

@@ -148,7 +148,9 @@ def run_simulation(
     snapshot_ids = []
     last_stats_code = None
 
-    def do_snapshot(snap_iter: int, last_row_code: np.ndarray):
+    def do_snapshot(
+        snap_iter: int, last_row_code: np.ndarray, rho_code: Optional[np.ndarray]
+    ):
         nonlocal R_cur
         rcom = last_row_code[5:8]
         rr = np.stack(
@@ -159,12 +161,14 @@ def run_simulation(
             ],
             axis=1,
         )
-        rho_code = np.asarray(
+        rho_radial_code = np.asarray(
             density_at(jnp.asarray(rr, jd), state.pos, params.m, kh),
             dtype=np.float64,
         )
         if eos == "polytropic":
-            r_new = find_star_radius(rlin_code, rho_code, 0.01 * rho_code[0])
+            r_new = find_star_radius(
+                rlin_code, rho_radial_code, 0.01 * rho_radial_code[0]
+            )
             R_cur = float(r_new * u.L)
             c["R"] = R_cur
             c["N"] = n
@@ -186,7 +190,7 @@ def run_simulation(
             K=k_out,
             constants=c,
             rlin=rlin_code * u.L,
-            rho_radial=rho_code * u.RHO,
+            rho_radial=rho_radial_code * u.RHO,
             root=root,
         )
         if verbose:
@@ -199,10 +203,10 @@ def run_simulation(
                 ic_type=ic_type,
                 snap_id=str(snap_iter),
                 pos_cgs=pos_cgs,
-                rho_cgs=None,
+                rho_cgs=rho_code * u.RHO if rho_code is not None else None,
                 R=R_cur,
                 rlin_cgs=rlin_code * u.L,
-                rho_radial_cgs=rho_code * u.RHO,
+                rho_radial_cgs=rho_radial_code * u.RHO,
                 stats_cgs=stats_file.up_to(snap_iter),
                 eos=eos,
             )
@@ -215,9 +219,10 @@ def run_simulation(
             break
         # steps until the next snapshot boundary (see module docstring)
         if keep_snaps:
-            n_steps = snap_interval - counter + 1
+            n_steps_full = snap_interval - counter + 1
         else:
-            n_steps = max(snap_interval, 1)
+            n_steps_full = max(snap_interval, 1)
+        n_steps = n_steps_full
         if max_steps is not None:
             n_steps = min(n_steps, max_steps - total_steps)
 
@@ -225,7 +230,7 @@ def run_simulation(
             cfg = pick_cfg(h_host, np.asarray(state.pos))
             chunk = get_chunk(cfg)
         with timer("chunk_steps"):
-            state, stats_code, valid, h_dev, nfb = chunk(
+            state, stats_code, valid, h_dev, rho_dev, nfb = chunk(
                 state, params, h_dev, n_steps=n_steps
             )
             h_host = np.asarray(h_dev, np.float64)
@@ -243,22 +248,31 @@ def run_simulation(
             stats_file.update_row(iter_id + j, stats_cgs[j])
             if verbose:
                 row = stats_cgs[j]
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    vir = abs(row[2] / row[3]) if row[3] != 0 else np.inf
-                print(f"Virial Ratio {vir}")
+                if eos == "polytropic":
+                    # the reference prints the virial ratio only in the
+                    # polytropic driver (polytrope_sim.jl:190)
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        vir = abs(row[2] / row[3]) if row[3] != 0 else np.inf
+                    print(f"Virial Ratio {vir}")
                 print(f"Time: {row[0]}")
         last_stats_code = stats_code[n_valid - 1]
         total_steps += n_valid
         last_iter = iter_id + n_valid - 1
         iter_id += n_valid
-        counter = counter + n_valid if not keep_snaps else 1
 
         at_end = float(state.t) >= t_end_code or (
             max_steps is not None and total_steps >= max_steps
         )
-        if (keep_snaps and n_valid == n_steps) or at_end:
+        # a chunk clipped by --max-steps ends mid-interval: advance the
+        # counter instead of snapshotting early, so a later resume stays on
+        # the reference cadence (snapshot only on true boundaries / at end)
+        on_boundary = keep_snaps and n_valid == n_steps_full
+        counter = 1 if on_boundary else counter + n_valid
+        if on_boundary or at_end:
             with timer("snapshot_io"):
-                do_snapshot(last_iter, last_stats_code)
+                do_snapshot(
+                    last_iter, last_stats_code, np.asarray(rho_dev, np.float64)
+                )
 
     stats_file.close()
     runtime = time.time() - start_wall

@@ -137,7 +137,7 @@ def _diagnostics(cfg: EngineConfig, p: Params, state: State, sf, phi, vel_r2):
 
 def make_step(cfg: EngineConfig):
     """Returns step(state, params, h_hint) -> (state', stats_row, h_new,
-    n_fallbacks)."""
+    rho_new, n_fallbacks)."""
 
     def step(state: State, p: Params, h_hint) -> Tuple:
         pos, vel, K = state.pos, state.vel, state.K
@@ -157,7 +157,13 @@ def make_step(cfg: EngineConfig):
         vel_new = vel + acc2 * dt
         pos_new = pos + vel_new * dt - 0.5 * acc2 * dt**2
         n_fb = fb1.astype(jnp.int32) + fb2.astype(jnp.int32)
-        return State(pos_new, vel_new, K, state.t + dt), stats, sf2.h, n_fb
+        return (
+            State(pos_new, vel_new, K, state.t + dt),
+            stats,
+            sf2.h,
+            sf2.rho,
+            n_fb,
+        )
 
     return step
 
@@ -165,30 +171,35 @@ def make_step(cfg: EngineConfig):
 def make_chunk_runner(cfg: EngineConfig):
     """Returns chunk(state, params, h0, n_steps) jitted with static
     n_steps: runs up to n_steps steps, freezing once t >= t_end. Outputs
-    (state, stats (S,10), valid (S,), h_last, fallbacks (S,))."""
+    (state, stats (S,10), valid (S,), h_last, rho_last, fallbacks (S,));
+    rho_last is the last half-step density, which the driver threads into
+    the snapshot figures (the reference colors its star scatter by rho,
+    polytrope_sim.jl:265)."""
     step = make_step(cfg)
 
     @functools.partial(jax.jit, static_argnames=("n_steps",))
     def chunk(state: State, p: Params, h0, n_steps: int):
+        rho0 = jnp.zeros_like(h0)
+
         def body(carry, _):
-            st, h = carry
+            st, h, rho = carry
             cont = st.t < p.t_end
 
             def do(args):
-                s, hh = args
-                s2, stats, h2, nfb = step(s, p, hh)
-                return (s2, h2), stats, nfb
+                s, hh, rr = args
+                s2, stats, h2, rho2, nfb = step(s, p, hh)
+                return (s2, h2, rho2), stats, nfb
 
             def skip(args):
-                s, hh = args
-                return (s, hh), jnp.zeros((10,), s.pos.dtype), jnp.int32(0)
+                s, hh, rr = args
+                return (s, hh, rr), jnp.zeros((10,), s.pos.dtype), jnp.int32(0)
 
-            carry2, stats, nfb = lax.cond(cont, do, skip, (st, h))
+            carry2, stats, nfb = lax.cond(cont, do, skip, (st, h, rho))
             return carry2, (stats, cont, nfb)
 
-        (state_out, h_last), (stats, valid, nfb) = lax.scan(
-            body, (state, h0), None, length=n_steps
+        (state_out, h_last, rho_last), (stats, valid, nfb) = lax.scan(
+            body, (state, h0, rho0), None, length=n_steps
         )
-        return state_out, stats, valid, h_last, nfb
+        return state_out, stats, valid, h_last, rho_last, nfb
 
     return chunk

@@ -31,7 +31,10 @@ long sph_format_particles(const double *data, long n, long ncols,
         for (long j = 0; j < ncols; j++) {
             *p++ = ',';
             double v = row[j];
-            if (v == (double)(long long)v && fabs(v) < 1e15) {
+            if (fabs(v) < 1e15 && v == (double)(long long)v) {
+                /* range check first: double->long long casts of
+                 * out-of-range magnitudes (CGS values hit 1e17..1e33)
+                 * are undefined behavior in C */
                 /* integral floats print compactly but keep the ".0" so the
                  * column stays float-typed for any reader that sniffs */
                 p += snprintf(p, 64, "%.1f", v);

@@ -62,12 +62,10 @@ def _fmt_num(v) -> str:
         return "NaN"
     if x in (float("inf"), float("-inf")):
         return "Inf" if x > 0 else "-Inf"
-    if x == int(x) and abs(x) < 1e15:
-        # Julia prints e.g. 5.0, 100000.0 for integral floats below its
-        # scientific-notation threshold.
-        r = repr(x)
-    else:
-        r = repr(x)
+    # repr already matches Julia string() for integral floats ("5.0",
+    # "100000.0") and non-integral values alike; only the exponent form
+    # below needs adjusting.
+    r = repr(x)
     if "e" in r:
         mant, exp = r.split("e")
         if "." not in mant:

@@ -6,16 +6,15 @@ branching — hostile to XLA — so instead the search is a dense, tiled
 running-top-k:
 
   for each query row block (Bq, 3):
-      for each candidate column block (Bc, 3):
-          d2 = |q|^2 + |c|^2 - 2 q @ c.T          (MXU matmul)
+      for each planar candidate column block (x/y/z, each (Bc,)):
+          d2 = dx*dx + dy*dy + dz*dz              (exact per-axis VPU diffs)
           merge into the running (Bq, K) best via lax.top_k
 
-Static shapes, no recompilation between steps, O(M*N) work that the MXU/VPU
-eat for typical N; the cell-list module provides the O(N*C) path at scale.
-
-Callers should recompute exact separations from the returned indices
-(gather) rather than trusting the matmul-form distances, which lose
-precision to cancellation in float32.
+Static shapes, no recompilation between steps, O(M*N) work streamed on the
+VPU; the cell-list module provides the O(N*C) path at scale. The per-axis
+diff form (not the |q|^2+|c|^2-2qc matmul form) is deliberate: it is exact
+in f32 where the matmul form loses low bits to cancellation, so the
+returned d2 can be trusted directly (see the inline comment below).
 """
 
 from __future__ import annotations
@@ -42,9 +41,9 @@ def knn(
 ):
     """k nearest neighbors of each row of ri among the rows of rj.
 
-    Returns (idx, d2): idx (M, k) int32 sorted by approximate squared
-    distance ascending (self first when ri is rj), d2 (M, k) the matmul-form
-    squared distances (>= 0 after clamping).
+    Returns (idx, d2): idx (M, k) int32 sorted by squared distance
+    ascending (self first when ri is rj), d2 (M, k) exact per-axis-diff
+    squared distances (naturally >= 0).
     """
     m_q = ri.shape[0]
     n_c = rj.shape[0]

@@ -51,6 +51,8 @@ def render_snapshot_figures(
     if rho_cgs is None:
         cval = np.zeros(len(pos_cgs))
     else:
+        # density coloring, min((rho-3)/3, 1) on the :autumn map
+        # (polytrope_sim.jl:265, isothermal_sim.jl:241)
         cval = np.minimum((rho_cgs - 3.0) / 3.0, 1.0)
     ax1.scatter(
         pos_cgs[:, 0] / R,
@@ -63,7 +65,18 @@ def render_snapshot_figures(
     )
     ax1.set_xlim(-1.4, 1.4)
     ax1.set_ylim(-1.4, 1.4)
-    ax2.plot(rlin_cgs, rho_radial_cgs, color="blue", linewidth=2)
+    if eos == "isothermal":
+        # analytic-profile overlay; the reference keeps this a gray
+        # placeholder-zeros line (isothermal_sim.jl:125,250-251)
+        ax2.plot(
+            rlin_cgs,
+            np.zeros_like(rho_radial_cgs),
+            color="gray",
+            linewidth=2,
+            label="analytic",
+        )
+    ax2.plot(rlin_cgs, rho_radial_cgs, color="blue", linewidth=2,
+             label="numerical")
     ax2.set_xlabel("radius")
     ax2.set_ylabel("density")
     star_path = os.path.join(d, f"{snap_id}_star.png")

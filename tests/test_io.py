@@ -84,6 +84,59 @@ def test_read_reference_style_csv(tmp_path):
     assert len(snap["rlin"]) == 3 and snap["rlin"][1] == 5e15
 
 
+def test_golden_reference_snapshot():
+    """Committed byte fixture transcribed in the exact grammar the reference
+    writes (SnapshotRW.jl:22-159): CSV.write header order, empty cells for
+    missing, Julia shortest-repr float forms including the early e-notation
+    switch at 1e6 ("1.5e7" where Python repr says "15000000.0"), ;-joined
+    vector rows, hash-scrambled constants order, Int-vs-Float sniffing
+    (SnapshotRW.jl:147)."""
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "golden", "1snap.csv")
+    snap = read_snapshot(path)
+
+    assert snap["pos"].shape == (4, 3)
+    # exact float64 parses of Julia-printed shortest reprs
+    assert snap["pos"][0, 0] == -4.7659622806551096e16
+    assert snap["pos"][1, 2] == 8.078285115e16
+    assert snap["vel"][1, 0] == 1.5e7  # Julia's early e-notation
+    assert snap["vel"][1, 2] == -123456.78125
+    assert snap["vel"][2, 0] == -0.0001 and snap["vel"][2, 1] == 2.5e-5
+    assert snap["K"][0] == 1.9572384000000002e27
+    assert snap["K"][2] == 1.9572384e27
+
+    assert len(snap["rlin"]) == 5
+    assert snap["rlin"][1] == 1.6156570230000002e16
+    assert snap["rho_radial"][0] == 1.5234567890123457e-18
+
+    c = snap["constants"]
+    # Int-vs-Float sniffing: no [eE.] => Int (SnapshotRW.jl:147)
+    for k in ("N", "Kh", "Kgr", "iterID"):
+        assert isinstance(c[k], int)
+    assert c["N"] == 4 and c["iterID"] == 7 and c["Kgr"] == 20
+    assert isinstance(c["t"], float) and c["t"] == 1.2345678901234e9
+    assert c["gamma"] == 1.6666666666666667
+    assert c["G"] == 6.6743e-8 and c["tEnd"] == 5.0e12
+    assert c["theta"] == 0.576 and c["m"] == 4.97275e32
+
+    # and our writer round-trips the same data values exactly
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        p2 = write_snapshot(
+            "9", "boss_bodenheimer", snap["pos"], snap["vel"], K=snap["K"],
+            constants=c, rlin=snap["rlin"], rho_radial=snap["rho_radial"],
+            root=td,
+        )
+        snap2 = read_snapshot(p2)
+        np.testing.assert_array_equal(snap2["pos"], snap["pos"])
+        np.testing.assert_array_equal(snap2["vel"], snap["vel"])
+        np.testing.assert_array_equal(snap2["K"], snap["K"])
+        np.testing.assert_array_equal(snap2["rlin"], snap["rlin"])
+        assert snap2["constants"] == c
+
+
 def test_stats_mmap_layout(tmp_path):
     """Stats file must be column-major on disk (Julia Matrix layout)."""
     path = str(tmp_path / "stats")

@@ -42,7 +42,7 @@ def test_sharded_matches_unsharded(eos):
 
     single = make_chunk_runner(cfg)
     h0 = jnp.zeros((cfg.n,), state.pos.dtype)
-    st1, stats1, valid1, _, _ = single(state, params, h0, n_steps=3)
+    st1, stats1, valid1, _, _, _ = single(state, params, h0, n_steps=3)
 
     sharded = make_sharded_chunk_runner(cfg, mesh)
     st8, stats8, valid8 = sharded(shard_state(state, mesh), params, n_steps=3)

@@ -54,7 +54,12 @@ def build_state():
     d_knn, _ = cKDTree(pos_code).query(pos_code, k=KH)
     h0 = d_knn[:, -1] / 2.0
     tile = choose_tile_params(pos_code, h0, KH)
-    cfg = EngineConfig(n=N, kh=KH, eos="polytropic", dtype="float32", tile=tile)
+    from sphtpu.engine.driver import P3M_MIN_N
+
+    cfg = EngineConfig(
+        n=N, kh=KH, eos="polytropic", dtype="float32", tile=tile,
+        gravity="p3m" if N >= P3M_MIN_N else "exact",
+    )
     params = Params(
         m=jnp.asarray(M / N / u.M, jd),
         gamma=jnp.asarray(gamma, jd),
@@ -117,6 +122,7 @@ def main():
                 "n_particles": N,
                 "fallback_evals": n_fallback,
                 "tile_params": list(cfg.tile) if cfg.tile else None,
+                "gravity": cfg.gravity,
                 "compile_and_warm_s": round(compile_and_warm_s, 1),
                 "backend": jax.default_backend(),
             }

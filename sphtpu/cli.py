@@ -77,6 +77,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--engine", default="auto", choices=("auto", "gather"),
                    help="auto: cell-tile fast path with certified fallback; "
                         "gather: neighbor-list engine only")
+    p.add_argument("--gravity", default="auto",
+                   choices=("auto", "exact", "p3m"),
+                   help="tile-path far field: exact softened N^2 sweep or "
+                        "P3M FFT mesh (auto: P3M above the measured "
+                        "crossover N)")
     p.add_argument("--max-steps", type=int, default=None,
                    help="Stop after this many steps (debug/bench)")
     p.add_argument("--quiet", action="store_true", help="Suppress per-step prints")
@@ -120,6 +125,7 @@ def main(argv=None) -> int:
             root=args.root,
             dtype=args.dtype,
             engine=args.engine,
+            gravity=args.gravity,
             max_steps=args.max_steps,
             verbose=not args.quiet,
         )

@@ -23,14 +23,40 @@ class EngineConfig:
     # the gather engine only. The driver re-chooses this per chunk from the
     # evolving smoothing lengths (each distinct tuple compiles once).
     tile: tuple = None
+    # far-field gravity on the tile path: "exact" = softened all-pairs
+    # sweep (O(N^2), bit-matches the oracle); "p3m" = FFT particle-mesh +
+    # in-tile 5^3 pair correction (O(N + Gm^3 log Gm), measured force error
+    # below the reference's theta=0.576 octree walk). The gather fallback
+    # path is always exact.
+    gravity: str = "exact"
+    # P3M knobs: mesh cells per tile cell and Gaussian width in mesh cells
+    # (tuned in tests/test_mesh_gravity.py; r_cut = 2 tile cells)
+    mesh_factor: int = 5
+    sigma_cells: float = 2.2
 
     def __post_init__(self):
         if self.eos not in ("polytropic", "isothermal"):
             raise ValueError(f"unknown EOS {self.eos!r}")
+        if self.gravity not in ("exact", "p3m"):
+            raise ValueError(f"unknown gravity mode {self.gravity!r}")
+        if self.gravity == "p3m" and self.tile is None:
+            raise ValueError("p3m gravity requires the tile engine")
 
     @property
     def jdtype(self):
         return jnp.dtype(self.dtype)
+
+    @property
+    def mesh_gm(self) -> int:
+        """Live mesh cells per edge (p3m mode)."""
+        return self.mesh_factor * self.tile[0]
+
+    @property
+    def mesh_pad(self) -> int:
+        """Padded FFT edge for isolated boundaries (p3m mode)."""
+        from ..physics.mesh_gravity import good_fft_size
+
+        return good_fft_size(2 * (self.mesh_gm + 2))
 
 
 class Params(NamedTuple):

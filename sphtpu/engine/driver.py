@@ -33,6 +33,12 @@ from .step import make_chunk_runner
 # plotN per EOS (polytrope_sim.jl:129, isothermal_sim.jl:122)
 PLOT_N = {"polytropic": 10000, "isothermal": 1000}
 
+# gravity="auto" switches the tile path to P3M at this particle count.
+# Measured on v5e at N=1e5/Kh=50: exact Newton sweep 100 ms/pass vs P3M
+# 137 ms (5^3 tail pass) + 70 ms (CIC+FFT+interp); the sweep grows as N^2,
+# the P3M side ~linearly, crossing just under 2e5 (see BASELINE.md).
+P3M_MIN_N = 150_000
+
 
 def find_star_radius(rlin: np.ndarray, rho_radial: np.ndarray, threshold: float):
     """First radius where the profile drops below threshold
@@ -59,6 +65,7 @@ def run_simulation(
     root: str = ".",
     dtype: str = "float32",
     engine: str = "auto",
+    gravity: str = "auto",
     max_steps: Optional[int] = None,
     verbose: bool = True,
 ) -> dict:
@@ -67,7 +74,10 @@ def run_simulation(
 
     engine: "auto" uses the masked cell-tile fast path with certified
     fallback (grid re-sized per chunk from the evolving h); "gather" forces
-    the neighbor-list engine."""
+    the neighbor-list engine.
+    gravity: "auto" switches the tile path from the exact O(N^2) softened
+    sweep to P3M (FFT mesh + in-tile correction) above P3M_MIN_N particles,
+    where the sweep stops being competitive; "exact"/"p3m" force a mode."""
     start_wall = time.time()
     snap = read_snapshot(snapshot_path(root, ic_type, str(snap_id)))
     c = dict(snap["constants"])
@@ -115,9 +125,15 @@ def run_simulation(
         if engine != "auto":
             return base_cfg
         tile = choose_tile_params(pos_host, h_host, kh)
-        return (
-            base_cfg if tile is None else
-            EngineConfig(n=n, kh=kh, eos=eos, dtype=dtype, tile=tile)
+        if tile is None:
+            return base_cfg
+        grav = (
+            "p3m"
+            if gravity == "p3m" or (gravity == "auto" and n >= P3M_MIN_N)
+            else "exact"
+        )
+        return EngineConfig(
+            n=n, kh=kh, eos=eos, dtype=dtype, tile=tile, gravity=grav
         )
 
     # bootstrap h for grid sizing (host KD-tree, code units)

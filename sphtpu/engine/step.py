@@ -32,6 +32,7 @@ from ..physics import (
     gravity_newton_allpairs,
     sph_forces,
 )
+from ..physics.mesh_gravity import greens_hat, p3m_mesh_force
 from ..physics.tiles import ReducedForces, tile_sph_forces
 from ..profiling import stage
 from .config import EngineConfig, Params, State
@@ -55,12 +56,15 @@ def _gather_reduced(cfg: EngineConfig, p: Params, pos, vel, K) -> ReducedForces:
     )
 
 
-def force_eval(cfg: EngineConfig, p: Params, pos, vel, K, h_hint):
+def force_eval(cfg: EngineConfig, p: Params, pos, vel, K, h_hint, ghat=None):
     """Hydro + gravity acceleration (getAcc, polytrope_sim.jl:17-51).
 
-    Returns (acc, reduced, phi, fell_back)."""
+    Returns (acc, reduced, phi, fell_back). ghat: precomputed Green's
+    transform for p3m gravity (computed here if None — callers running
+    inside a scan should hoist it via greens_hat())."""
     if cfg.tile is not None:
         grid, cap = cfg.tile
+        p3m = cfg.gravity == "p3m"
         tf, gcorr, ok = tile_sph_forces(
             pos,
             vel,
@@ -75,9 +79,23 @@ def force_eval(cfg: EngineConfig, p: Params, pos, vel, K, h_hint):
             kh=cfg.kh,
             grid=grid,
             cap=cap,
+            mesh_factor=cfg.mesh_factor if p3m else 0,
+            sigma_cells=cfg.sigma_cells,
         )
 
+        if p3m and ghat is None:
+            ghat = greens_hat(cfg.mesh_pad, cfg.sigma_cells, pos.dtype)
+
         def tile_branch():
+            if p3m:
+                # FFT mesh far field + the tiles' 5^3 (softened -
+                # mesh_shape) correction: matched-accuracy replacement for
+                # the reference octree (gravOctree_Single.jl:239-278)
+                gmesh, phim = p3m_mesh_force(
+                    pos, p.m, ghat, gm=cfg.mesh_gm, pad=cfg.mesh_pad
+                )
+                g = gmesh + jnp.stack(gcorr[:3], axis=1)
+                return tf, tf.acc - g, phim + gcorr[3]
             # pure-Newtonian global sweep + the tiles' near-field softening
             # correction == the reference's softened gravity, exactly
             gn, phin = gravity_newton_allpairs(pos, p.m)
@@ -136,12 +154,12 @@ def _diagnostics(cfg: EngineConfig, p: Params, state: State, sf, phi, vel_r2):
 
 
 def make_step(cfg: EngineConfig):
-    """Returns step(state, params, h_hint) -> (state', stats_row, h_new,
-    rho_new, n_fallbacks)."""
+    """Returns step(state, params, h_hint, ghat=None) -> (state',
+    stats_row, h_new, rho_new, n_fallbacks)."""
 
-    def step(state: State, p: Params, h_hint) -> Tuple:
+    def step(state: State, p: Params, h_hint, ghat=None) -> Tuple:
         pos, vel, K = state.pos, state.vel, state.K
-        acc, sf, phi, fb1 = force_eval(cfg, p, pos, vel, K, h_hint)
+        acc, sf, phi, fb1 = force_eval(cfg, p, pos, vel, K, h_hint, ghat)
         dt = _adaptive_dt(p, sf, acc, vel)
         vel_r2 = jnp.sum(vel * vel, axis=1)
         stats = _diagnostics(cfg, p, state, sf, phi, vel_r2)
@@ -151,7 +169,7 @@ def make_step(cfg: EngineConfig):
         vel_half = vel + acc * (dt / 2.0)
         if cfg.eos == "polytropic":
             K = evolve_K(K, sf.visc_dk, p.gamma, sf.rho, dt)
-        acc2, sf2, _, fb2 = force_eval(cfg, p, pos_half, vel_half, K, sf.h)
+        acc2, sf2, _, fb2 = force_eval(cfg, p, pos_half, vel_half, K, sf.h, ghat)
         if cfg.eos == "polytropic":
             K = evolve_K(K, sf2.visc_dk, p.gamma, sf2.rho, dt)
         vel_new = vel + acc2 * dt
@@ -180,6 +198,13 @@ def make_chunk_runner(cfg: EngineConfig):
     @functools.partial(jax.jit, static_argnames=("n_steps",))
     def chunk(state: State, p: Params, h0, n_steps: int):
         rho0 = jnp.zeros_like(h0)
+        # hoisted out of the scan: XLA computes the Green's transform once
+        # per chunk, not per force evaluation
+        ghat = (
+            greens_hat(cfg.mesh_pad, cfg.sigma_cells, h0.dtype)
+            if cfg.gravity == "p3m"
+            else None
+        )
 
         def body(carry, _):
             st, h, rho = carry
@@ -187,7 +212,7 @@ def make_chunk_runner(cfg: EngineConfig):
 
             def do(args):
                 s, hh, rr = args
-                s2, stats, h2, rho2, nfb = step(s, p, hh)
+                s2, stats, h2, rho2, nfb = step(s, p, hh, ghat)
                 return (s2, h2, rho2), stats, nfb
 
             def skip(args):

@@ -45,8 +45,6 @@ from __future__ import annotations
 
 import functools
 
-import numpy as np
-
 import jax
 import jax.numpy as jnp
 from jax.scipy.special import erf
@@ -77,34 +75,48 @@ def _domain_half(pos: jnp.ndarray) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# Green's function (host precompute, cached per padded size)
+# Green's function (pure jnp: computed once per chunk, outside the scan)
 # ---------------------------------------------------------------------------
 
-_GREENS_CACHE: dict = {}
 
-
-def greens_hat_np(pad: int, sigma_cells: float = 1.0) -> np.ndarray:
+def greens_hat(pad: int, sigma_cells: float, dtype=jnp.float32) -> jnp.ndarray:
     """rfftn of the isolated-BC smoothed potential kernel, in mesh-cell
     units: K_phi(r) = -erf(r / (sqrt2 sigma)) / r, K_phi(0) = -sqrt(2/pi)/sigma,
-    sampled with minimum-image displacements on the padded grid. Physical
-    scaling is the single factor 1/a applied at use (a = mesh cell edge),
-    so the transform depends only on (pad, sigma_cells) and caches across
-    the whole run."""
-    key = (pad, float(sigma_cells))
-    if key not in _GREENS_CACHE:
-        ax = np.arange(pad)
-        ax = np.where(ax <= pad // 2, ax, ax - pad).astype(np.float64)
-        rz = ax[:, None, None]
-        ry = ax[None, :, None]
-        rx = ax[None, None, :]
-        r = np.sqrt(rz * rz + ry * ry + rx * rx)
-        from scipy.special import erf as nerf
+    sampled with minimum-image displacements on the padded grid, with the
+    CIC window deconvolved twice (deposit + interpolation): the raw mesh
+    pair interaction is K (x) W (x) W; dividing by What^2 = prod
+    sinc^4(k_i/2) restores the analytic erf shape the in-tile correction
+    subtracts (Hockney & Eastwood ch. 8). Physical scaling is the single
+    factor 1/a applied at use (a = mesh cell edge), so this depends only on
+    the static (pad, sigma_cells) — call it outside the step scan and XLA
+    computes it once per chunk."""
+    ax = jnp.arange(pad)
+    ax = jnp.where(ax <= pad // 2, ax, ax - pad).astype(dtype)
+    r = jnp.sqrt(
+        ax[:, None, None] ** 2 + ax[None, :, None] ** 2 + ax[None, None, :] ** 2
+    )
+    r_safe = jnp.where(r > 0, r, 1.0)
+    k = jnp.where(
+        r > 0,
+        -erf(r / (jnp.sqrt(jnp.asarray(2.0, dtype)) * sigma_cells)) / r_safe,
+        -jnp.sqrt(jnp.asarray(2.0 / jnp.pi, dtype)) / sigma_cells,
+    )
+    khat = jnp.fft.rfftn(k)
 
-        with np.errstate(divide="ignore", invalid="ignore"):
-            k = -nerf(r / (np.sqrt(2.0) * sigma_cells)) / r
-        k[0, 0, 0] = -np.sqrt(2.0 / np.pi) / sigma_cells
-        _GREENS_CACHE[key] = np.fft.rfftn(k).astype(np.complex64)
-    return _GREENS_CACHE[key]
+    kf = (2.0 * jnp.pi) * jnp.fft.fftfreq(pad).astype(dtype)
+    krf = (2.0 * jnp.pi) * jnp.fft.rfftfreq(pad).astype(dtype)
+
+    def sinc2(kk):
+        x = kk / 2.0
+        x_safe = jnp.where(x != 0, x, 1.0)
+        return jnp.where(x != 0, (jnp.sin(x_safe) / x_safe) ** 2, 1.0)
+
+    w2 = (
+        sinc2(kf)[:, None, None]
+        * sinc2(kf)[None, :, None]
+        * sinc2(krf)[None, None, :]
+    )
+    return khat / (w2 * w2)
 
 
 # ---------------------------------------------------------------------------
@@ -135,6 +147,53 @@ def mesh_phi(r: jnp.ndarray, sigma) -> jnp.ndarray:
     val = -erf(t / jnp.sqrt(jnp.asarray(2.0, r.dtype))) / r_safe
     lim = -jnp.sqrt(jnp.asarray(2.0 / jnp.pi, r.dtype)) / sigma
     return jnp.where(t > 1e-2, val, lim)
+
+
+# degree-8 fit of erfcx(z) = erfc(z) exp(z^2) in u = z/(1+z), z in [0, 9]
+# (max abs err 4.7e-6); lets the hot tail-correction pass below evaluate
+# erfc-class kernels with one exp + one divide + a short Horner chain
+# instead of erf + exp + divides per pair
+_ERFCX_COEFFS = (
+    2.3849380332e-01, -9.3397713762e-01, 1.2579923862e+00,
+    -8.1740263321e-01, 4.6001262975e-01, 4.3301822784e-02,
+    -1.1974394197e-01, -1.1287916483e+00, 1.0000047021e+00,
+)
+
+
+def newton_minus_mesh(d2: jnp.ndarray, inv_r: jnp.ndarray, sigma):
+    """(gphi_over_r, phi) of the SHORT-RANGE complement (Newtonian minus
+    mesh shape), the radial h-free tail the tile engine's correction pass
+    adds on top of the mesh:
+
+      gphi/r = [erfc(z) + sqrt(2/pi) t exp(-t^2/2)] / r^3
+      phi    = -erfc(z)/r                      (z = t/sqrt2, t = r/sigma)
+
+    Evaluated as exp(-z^2) * erfcx-poly — one exp, no erf. Decays like
+    exp(-t^2/2): ~1e-4 relative at t = 4.4 (the 5^3-block guarantee with
+    sigma_cells = 2.2, mesh_factor = 5). inv_r must be rsqrt(d2) with
+    d2 > 0 masked by the caller; at the self slot (d2 = 0) the returned
+    phi is +sqrt(2/pi)/sigma (the Newtonian self term is excluded while
+    the mesh's smoothed self-interaction must still be cancelled) and the
+    force term is zero.
+    """
+    dtype = d2.dtype
+    t = d2 * inv_r / sigma
+    z = t * jnp.asarray(0.7071067811865476, dtype)
+    u = z / (1.0 + z)
+    p = jnp.asarray(_ERFCX_COEFFS[0], dtype)
+    for c in _ERFCX_COEFFS[1:]:
+        p = p * u + jnp.asarray(c, dtype)
+    e = jnp.exp(-z * z)
+    erfc_z = e * p
+    f = erfc_z + jnp.asarray(0.7978845608028654, dtype) * t * e
+    inv_r3 = inv_r * inv_r * inv_r
+    gphi_over_r = jnp.where(d2 > 0, f * inv_r3, 0.0)
+    phi = jnp.where(
+        d2 > 0,
+        -erfc_z * inv_r,
+        jnp.asarray(0.7978845608028654, dtype) / sigma,
+    )
+    return gphi_over_r, phi
 
 
 # ---------------------------------------------------------------------------

@@ -44,6 +44,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..kernels import W, grad_W_over_r, softened_gphi_over_r, softened_phi
+from .mesh_gravity import newton_minus_mesh
 
 
 class ReducedForces(NamedTuple):
@@ -118,7 +119,10 @@ def _bin_particles(pos, grid, cap, half):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("eos", "kh", "grid", "cap", "window", "zchunk", "ychunk"),
+    static_argnames=(
+        "eos", "kh", "grid", "cap", "window", "zchunk", "ychunk",
+        "mesh_factor", "sigma_cells",
+    ),
 )
 def tile_sph_forces(
     pos: jnp.ndarray,
@@ -139,15 +143,28 @@ def tile_sph_forces(
     zchunk: int = 1,
     ychunk: int = 0,
     safety: float = 1.02,
+    mesh_factor: int = 0,
+    sigma_cells: float = 2.2,
 ):
     """Returns (ReducedForces, (gx, gy, gz, phi) near-gravity corrections,
     ok). ok False => result invalid, caller must use the fallback engine.
-    The gravity corrections turn a pure-Newtonian all-pairs sweep into the
-    reference's softened gravity: for pairs with q = r/h_avg <= 2 the tile
-    adds (softened - Newtonian); beyond q = 2 the kernels agree exactly.
-    Certification (r_k <= cell edge => h <= s/2) guarantees every softened
-    pair lies within the 27-cell block. The self slot contributes exactly
-    the -(7/5) m / h self-potential term (softened_phi(0) = -1.4/h).
+
+    mesh_factor == 0 (exact mode): the corrections turn a pure-Newtonian
+    all-pairs sweep into the reference's softened gravity: for pairs with
+    q = r/h_avg <= 2 the 27-cell pass adds (softened - Newtonian); beyond
+    q = 2 the kernels agree exactly. Certification (r_k <= cell edge =>
+    h <= s/2) guarantees every softened pair lies within the 27-cell block.
+    The self slot contributes exactly the -(7/5) m / h self-potential term
+    (softened_phi(0) = -1.4/h).
+
+    mesh_factor > 0 (P3M mode): the corrections turn the FFT mesh force
+    (physics/mesh_gravity, sigma = sigma_cells * s/mesh_factor) into the
+    softened interaction: a dedicated 5^3-cell pass adds
+    (softened - mesh_shape) for every pair within two cells (r <= 2s
+    guaranteed covered), beyond which only the ~1e-4 Gaussian tail of the
+    mesh shape differs from exact. Replaces the reference's octree far
+    field (gravOctree_Single.jl:239-278) at matched-or-better measured
+    force accuracy (tests/test_mesh_gravity.py vs the theta = 0.576 oracle).
 
     grid must be divisible by window/zchunk/ychunk (window/zchunk default
     to 1 and ychunk to grid — measured fastest, and divisibility-free)."""
@@ -370,27 +387,113 @@ def tile_sph_forces(
             axis=-1,
         )
 
-        # near-field gravity correction: softened - Newtonian for q <= 2
-        # (identical beyond), against a global pure-Newtonian sweep
+        # near-field gravity correction, term 1: softened - Newtonian for
+        # q <= 2 (identical beyond). In exact mode this is the whole
+        # correction against the global pure-Newtonian sweep; in P3M mode
+        # phase C below adds term 2 (Newtonian - mesh shape) so the two
+        # together turn the FFT mesh into the softened interaction.
         r_safe = jnp.where(d2 > 0, r, 1.0)
         newt_g = jnp.where(d2 > 0, 1.0 / r_safe**3, 0.0)
         newt_p = jnp.where(d2 > 0, -1.0 / r_safe, 0.0)
         gmask = valid & (r <= 2.0 * h_avg)
-        cgp = jnp.where(gmask, softened_gphi_over_r(r, h_avg) - newt_g, 0.0)
+        cgp = jnp.where(
+            gmask, softened_gphi_over_r(r, h_avg) - newt_g, 0.0
+        )
         cpp = jnp.where(gmask, softened_phi(r, h_avg) - newt_p, 0.0)
         ggx = m * jnp.sum(cgp * dx, axis=-1)
         ggy = m * jnp.sum(cgp * dy, axis=-1)
         ggz = m * jnp.sum(cgp * dz, axis=-1)
         gphi_t = m * jnp.sum(cpp, axis=-1)
-        return ax, ay, az, div_t, mu_max_t, visc_t, ggx, ggy, ggz, gphi_t
+        return (ax, ay, az, div_t, mu_max_t, visc_t, ggx, ggy, ggz,
+                gphi_t)
 
     (ax_t, ay_t, az_t, div_t, mumax_t, visc_t, ggx_t, ggy_t, ggz_t,
      gphi_t) = lax.map(phase_b, jnp.arange(n_tiles))
+    GXg, GYg, GZg, GPg = (
+        assemble(ggx_t), assemble(ggy_t), assemble(ggz_t),
+        assemble(gphi_t),
+    )
     AXg, AYg, AZg = assemble(ax_t), assemble(ay_t), assemble(az_t)
     DIVg, MUg, VKg = assemble(div_t), assemble(mumax_t), assemble(visc_t)
-    GXg, GYg, GZg, GPg = (
-        assemble(ggx_t), assemble(ggy_t), assemble(ggz_t), assemble(gphi_t)
-    )
+
+    if mesh_factor > 0:
+        # -------- phase C: P3M tail correction, term 2 (Newtonian - mesh
+        # shape) over the 5^3 block — every pair within two cells
+        # (r <= 2s = 4.4 sigma guaranteed covered; beyond, the complement
+        # is the ~1e-4 Gaussian tail). The kernel is radial and h-free
+        # (one exp + short Horner per pair, see newton_minus_mesh), so this
+        # pass only streams position/mask planes. The self slot cancels
+        # the mesh's smoothed self-interaction in phi.
+        sigma = (s / mesh_factor) * sigma_cells
+        gp2 = g + 4
+        xslots2 = gp2 * cap
+        plane2_shape = (gp2, gp2, xslots2)
+        pz2, py2, px2 = pz + 1, py + 1, px + cap
+
+        def to_plane2(v, fill=0.0):
+            return jnp.full(plane2_shape, fill, dtype).at[
+                pz2, py2, px2
+            ].set(v.astype(dtype))
+
+        X2 = to_plane2(pos[:, 0])
+        Y2 = to_plane2(pos[:, 1])
+        Z2 = to_plane2(pos[:, 2])
+        M2 = to_plane2(jnp.ones((n,), dtype))
+
+        cw2 = 25 * (window + 4) * cap
+
+        def tile_slices2(planes, t):
+            w = t // (nz * ny)
+            rem = t % (nz * ny)
+            z0 = (rem // ny) * zchunk
+            y0 = (rem % ny) * ychunk
+            x0 = w * window * cap
+            outs = []
+            for p2 in planes:
+                sub = lax.dynamic_slice(
+                    p2,
+                    (z0, y0, x0),
+                    (zchunk + 4, ychunk + 4, (window + 4) * cap),
+                )
+                q = sub[
+                    2 : zchunk + 2, 2 : ychunk + 2, 2 * cap : 2 * cap + qw
+                ]
+                cands = jnp.stack(
+                    [
+                        sub[dz : dz + zchunk, dy : dy + ychunk, :]
+                        for dz in range(5)
+                        for dy in range(5)
+                    ],
+                    axis=2,
+                ).reshape(zchunk, ychunk, cw2)
+                outs.append((q, cands))
+            return outs
+
+        def phase_c(t):
+            (qx, cx), (qy, cy), (qz, cz), (qm, cm) = tile_slices2(
+                (X2, Y2, Z2, M2), t
+            )
+            dx = qx[..., None] - cx[:, :, None, :]
+            dy = qy[..., None] - cy[:, :, None, :]
+            dz = qz[..., None] - cz[:, :, None, :]
+            d2 = dx * dx + dy * dy + dz * dz
+            valid = (cm[:, :, None, :] > 0) & (qm[..., None] > 0)
+            inv_r = lax.rsqrt(jnp.where(d2 > 0, d2, 1.0))
+            cgp, cpp = newton_minus_mesh(d2, inv_r, sigma)
+            cgp = jnp.where(valid, cgp, 0.0)
+            cpp = jnp.where(valid, cpp, 0.0)
+            return (
+                m * jnp.sum(cgp * dx, axis=-1),
+                m * jnp.sum(cgp * dy, axis=-1),
+                m * jnp.sum(cgp * dz, axis=-1),
+                m * jnp.sum(cpp, axis=-1),
+            )
+
+        cgx_t, cgy_t, cgz_t, cgp_t = lax.map(phase_c, jnp.arange(n_tiles))
+        GXg = GXg + assemble(cgx_t)
+        GYg = GYg + assemble(cgy_t)
+        GZg = GZg + assemble(cgz_t)
+        GPg = GPg + assemble(cgp_t)
 
     # per-particle extraction (N small gathers per output plane)
     iz, iy, ix = pz - 1, py - 1, px - cap

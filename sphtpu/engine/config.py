@@ -33,6 +33,14 @@ class EngineConfig:
     # (tuned in tests/test_mesh_gravity.py; r_cut = 2 tile cells)
     mesh_factor: int = 5
     sigma_cells: float = 2.2
+    # VMEM-resident Pallas phase A (kernels/pallas_knn.py). None = use it
+    # on TPU backends (the XLA formulation stays for CPU tests and as the
+    # reference implementation).
+    pallas_a: bool = None
+    # outlier-lane row budget (physics/outliers.py): rows whose h cannot
+    # certify on the tile grid take an exact O(B*N) lane, letting the grid
+    # track the dense bulk through gravitational collapse. 0 = mono-level.
+    outlier_budget: int = 0
 
     def __post_init__(self):
         if self.eos not in ("polytropic", "isothermal"):

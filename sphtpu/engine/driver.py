@@ -24,7 +24,7 @@ from scipy.spatial import cKDTree
 
 from ..io import StatsFile, read_snapshot, snapshot_path, write_snapshot
 from ..physics import density_at
-from ..physics.tiles import choose_tile_params
+from ..physics.tiles import choose_tile_params_ml
 from ..profiling import StageTimer
 from ..units import UnitSystem
 from .config import EngineConfig, Params, State
@@ -124,16 +124,18 @@ def run_simulation(
     def pick_cfg(h_host: np.ndarray, pos_host: np.ndarray) -> EngineConfig:
         if engine != "auto":
             return base_cfg
-        tile = choose_tile_params(pos_host, h_host, kh)
-        if tile is None:
+        tp = choose_tile_params_ml(pos_host, h_host, kh)
+        if tp is None:
             return base_cfg
+        grid, cap, budget = tp
         grav = (
             "p3m"
             if gravity == "p3m" or (gravity == "auto" and n >= P3M_MIN_N)
             else "exact"
         )
         return EngineConfig(
-            n=n, kh=kh, eos=eos, dtype=dtype, tile=tile, gravity=grav
+            n=n, kh=kh, eos=eos, dtype=dtype, tile=(grid, cap),
+            gravity=grav, outlier_budget=budget,
         )
 
     # bootstrap h for grid sizing (host KD-tree, code units)

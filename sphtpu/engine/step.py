@@ -65,6 +65,11 @@ def force_eval(cfg: EngineConfig, p: Params, pos, vel, K, h_hint, ghat=None):
     if cfg.tile is not None:
         grid, cap = cfg.tile
         p3m = cfg.gravity == "p3m"
+        use_pallas = (
+            cfg.pallas_a
+            if cfg.pallas_a is not None
+            else jax.default_backend() == "tpu"
+        )
         tf, gcorr, ok = tile_sph_forces(
             pos,
             vel,
@@ -81,6 +86,8 @@ def force_eval(cfg: EngineConfig, p: Params, pos, vel, K, h_hint, ghat=None):
             cap=cap,
             mesh_factor=cfg.mesh_factor if p3m else 0,
             sigma_cells=cfg.sigma_cells,
+            pallas_a=use_pallas,
+            outlier_budget=cfg.outlier_budget,
         )
 
         if p3m and ghat is None:

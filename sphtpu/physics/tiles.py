@@ -92,6 +92,81 @@ def choose_tile_params(
     return grid, cap
 
 
+def choose_tile_params_ml(
+    pos_code,
+    h,
+    kh: int,
+    *,
+    safety: float = 1.05,
+    cap_max: int = 256,
+    headroom: float = 1.25,
+    slots_max: int = 12_000_000,
+    budgets=(256, 512, 1024, 2048, 4096, 8192, 16384, 32768, 65536),
+):
+    """Host-side grid sizing with the outlier lane: (grid, cap, budget) or
+    None.
+
+    Scans candidate grids from the mono-level choice (budget 0, identical
+    to choose_tile_params) down to cells sized for the dense bulk, routing
+    the large-h tail through the exact outlier lane (physics/outliers.py),
+    and picks the candidate with the lowest modeled cost
+
+        cost ~ grid^3 * cap^2 * 27 * C_TILE  +  N * budget * C_SWEEP
+
+    (pair work over padded tile slots — empty slots cost too — vs the
+    O(B*N) outlier sweeps). Feasibility: occupancy cap <= cap_max, an available budget,
+    and grid^3 * cap <= slots_max (plane + pallas-prestack memory).
+    Returns None only when no candidate is feasible — the caller stays on
+    the exact gather engine."""
+    import numpy as np
+
+    from .outliers import OUTLIER_CUT
+
+    C_TILE = 70.0  # ops per slot-pair (17 bisection compares + force)
+    C_SWEEP = 60.0  # ops per outlier-sweep pair (two sweeps)
+
+    pos_code = np.asarray(pos_code)
+    h = np.asarray(h)
+    n = h.shape[0]
+    half = float(np.abs(pos_code).max()) * (1 + 1e-6)
+
+    g0 = max(int(2.0 * half / (safety * 2.0 * float(h.max()))), 2)
+    g_hi = max(
+        int(2.0 * half / (safety * 2.0 * float(np.quantile(h, 0.3)))), g0
+    )
+    grids = []
+    g_c = g0
+    while g_c <= min(g_hi, 128):
+        grids.append(g_c)
+        g_c = max(g_c + 1, int(g_c * 1.25))
+
+    best = None
+    for grid in grids:
+        s_eff = 2.0 * half / grid
+        n_out = int(np.sum(h * OUTLIER_CUT > s_eff))
+        if n_out == 0:
+            budget = 0
+        else:
+            budget = next((b for b in budgets if b >= n_out * 1.3 + 64), None)
+            if budget is None:
+                continue
+        c = np.clip((pos_code + half) // s_eff, 0, grid - 1).astype(np.int64)
+        cells = (c[:, 2] * grid + c[:, 1]) * grid + c[:, 0]
+        cmax = int(np.bincount(cells, minlength=grid**3).max())
+        cap = max(32, int(-(-headroom * cmax // 32)) * 32)
+        if cap > cap_max or grid**3 * cap > slots_max:
+            continue
+        cost = (
+            grid**3 * float(cap) ** 2 * 27.0 * C_TILE
+            + n * float(budget) * C_SWEEP
+        )
+        if best is None or cost < best[0]:
+            best = (cost, grid, cap, budget)
+    if best is None:
+        return None
+    return best[1], best[2], best[3]
+
+
 def _bin_particles(pos, grid, cap, half):
     """Cell coords, in-cell ranks and the padded-plane slot index."""
     n = pos.shape[0]
@@ -121,7 +196,8 @@ def _bin_particles(pos, grid, cap, half):
     jax.jit,
     static_argnames=(
         "eos", "kh", "grid", "cap", "window", "zchunk", "ychunk",
-        "mesh_factor", "sigma_cells",
+        "mesh_factor", "sigma_cells", "pallas_a", "pallas_interpret",
+        "outlier_budget",
     ),
 )
 def tile_sph_forces(
@@ -145,6 +221,9 @@ def tile_sph_forces(
     safety: float = 1.02,
     mesh_factor: int = 0,
     sigma_cells: float = 2.2,
+    pallas_a: bool = False,
+    pallas_interpret: bool = False,
+    outlier_budget: int = 0,
 ):
     """Returns (ReducedForces, (gx, gy, gz, phi) near-gravity corrections,
     ok). ok False => result invalid, caller must use the fallback engine.
@@ -176,9 +255,25 @@ def tile_sph_forces(
         raise ValueError("grid must be divisible by window/zchunk/ychunk")
     half = jnp.max(jnp.abs(pos)) * (1.0 + 1e-6) + jnp.asarray(1e-30, dtype)
     coords, rank, (pz, py, px), overflow, s = _bin_particles(pos, g, cap, half)
-    # (the h hint only sizes the grid on the driver side; exactness is
-    # certified from the *found* r_k <= s per row, so a drifting hint can
-    # not silently corrupt results)
+    iz, iy, ix = pz - 1, py - 1, px - cap  # unpadded per-particle slots
+
+    # two-species split (physics/outliers.py): rows whose hinted h cannot
+    # certify on this grid take the exact outlier lane. The hint only
+    # SELECTS the species — F-row exactness is still certified from the
+    # found r_k <= s, and outlier-lane results are exact regardless, so a
+    # drifting hint costs speed or triggers fallback, never correctness.
+    if outlier_budget > 0:
+        from .outliers import OUTLIER_CUT
+
+        out_mask = h_hint.astype(dtype) * OUTLIER_CUT > s
+        n_out = jnp.sum(out_mask)
+        budget_ok = n_out <= outlier_budget
+        out_rows = jnp.nonzero(
+            out_mask, size=outlier_budget, fill_value=n
+        )[0].astype(jnp.int32)
+    else:
+        out_mask = jnp.zeros((n,), bool)
+        budget_ok = jnp.asarray(True)
     del h_hint, coords, safety
 
     gp = g + 2
@@ -285,9 +380,7 @@ def tile_sph_forces(
         row_ok = (qm <= 0) | (
             (nfound >= kh) & (jnp.sqrt(rk2) <= s)
         )
-        return h_t, rho_t, jnp.all(row_ok)
-
-    h_tiles, rho_tiles, ok_tiles = lax.map(phase_a, jnp.arange(n_tiles))
+        return h_t, rho_t, row_ok.astype(dtype)
 
     def assemble(tiles):
         # (n_tiles, zchunk, ychunk, qw) -> (g, g, g*cap) unpadded grid
@@ -295,9 +388,53 @@ def tile_sph_forces(
         t = jnp.transpose(t, (1, 3, 2, 4, 0, 5))
         return t.reshape(g, g, g * cap)
 
-    Hg = assemble(h_tiles)
-    RHOg = assemble(rho_tiles)
-    rows_ok = jnp.all(ok_tiles)
+    if pallas_a:
+        # VMEM-resident phase A (kernels/pallas_knn.py): candidates are
+        # pre-stacked per cell so d2 is computed once on-chip instead of
+        # re-streamed from HBM per bisection pass
+        from ..kernels.pallas_knn import phase_a_pallas
+
+        def prestack(P):
+            parts = []
+            for dz in range(3):
+                for dy in range(3):
+                    for dxs in range(3):
+                        parts.append(
+                            lax.slice(
+                                P,
+                                (dz, dy, dxs * cap),
+                                (dz + g, dy + g, (dxs + g) * cap),
+                            ).reshape(g, g, g, cap)
+                        )
+            return jnp.stack(parts, axis=3).reshape(g * g * g, 27 * cap)
+
+        cands = tuple(prestack(P) for P in (X, Y, Z, MASK))
+        h_cells, rho_cells, ok_cells = phase_a_pallas(
+            cands, s * s, m, kh=kh, cap=cap, interpret=pallas_interpret
+        )
+        Hg = h_cells.reshape(g, g, g * cap)
+        RHOg = rho_cells.reshape(g, g, g * cap)
+        OKg = ok_cells.reshape(g, g, g * cap)
+    else:
+        h_tiles, rho_tiles, ok_tiles = lax.map(phase_a, jnp.arange(n_tiles))
+        Hg = assemble(h_tiles)
+        RHOg = assemble(rho_tiles)
+        OKg = assemble(ok_tiles)
+
+    if outlier_budget > 0:
+        # exact kNN pass for the outlier rows, then overwrite their slots
+        # so every downstream plane (h, rho, P/rho^2, cs) sees merged
+        # values; outlier rows are exempt from phase-A certification
+        from .outliers import outlier_knn
+
+        out_idx, h_out, rho_out = outlier_knn(pos, out_rows, m, kh)
+        izo = jnp.where(out_rows < n, iz[jnp.minimum(out_rows, n - 1)], g)
+        iyo = iy[jnp.minimum(out_rows, n - 1)]
+        ixo = ix[jnp.minimum(out_rows, n - 1)]
+        Hg = Hg.at[izo, iyo, ixo].set(h_out.astype(dtype), mode="drop")
+        RHOg = RHOg.at[izo, iyo, ixo].set(rho_out.astype(dtype), mode="drop")
+        OKg = OKg.at[izo, iyo, ixo].set(1.0, mode="drop")
+    rows_ok = jnp.all(OKg > 0) & budget_ok
 
     # derived per-slot fields (no gathers: pure elementwise on the grids)
     mask_g = jnp.zeros((g, g, g * cap), dtype).at[
@@ -324,13 +461,24 @@ def tile_sph_forces(
     RHOp = pad3(RHOg)
     POR2p = pad3(POR2g)
     CSp = pad3(CSg)
+    if outlier_budget > 0:
+        OUTg = jnp.zeros((g, g, g * cap), dtype).at[iz, iy, ix].set(
+            out_mask.astype(dtype)
+        )
+        OUTp = pad3(OUTg)
+    else:
+        OUTp = None
 
     def phase_b(t):
         """Forces + reductions for one tile: forward mask = c in knn(q),
-        reverse mask = q in knn(c) — the scatter-free symmetric sum."""
-        views = tile_slices(
-            (X, Y, Z, VX, VY, VZ, MASK, Hp, RK2p, RHOp, POR2p, CSp), t
-        )
+        reverse mask = q in knn(c) — the scatter-free symmetric sum.
+        With an outlier lane, outlier SOURCES are excluded from the
+        reverse mask (their r_k exceeds the stencil; the outlier pass
+        scatters those contributions exactly instead)."""
+        planes = [X, Y, Z, VX, VY, VZ, MASK, Hp, RK2p, RHOp, POR2p, CSp]
+        if OUTp is not None:
+            planes.append(OUTp)
+        views = tile_slices(planes, t)
         (qx, cx), (qy, cy), (qz, cz) = views[0:3]
         (qvx, cvx), (qvy, cvy), (qvz, cvz) = views[3:6]
         (qm, cm) = views[6]
@@ -344,6 +492,16 @@ def tile_sph_forces(
         valid = (cm[:, :, None, :] > 0) & (qm[..., None] > 0)
         fwd = valid & (d2 <= qrk2[..., None])
         rev = valid & (d2 <= crk2[:, :, None, :])
+        if OUTp is not None:
+            # outlier rows: the forward (own-kNN-list) sum is incomplete
+            # in-tile (their reach exceeds the stencil) — the outlier pass
+            # recomputes it exactly, so zero it here; their REVERSE term
+            # (contributions scattered from in-tile F rows' lists) is
+            # complete and stays. Outlier SOURCES are likewise excluded
+            # from every reverse term and scattered exactly instead.
+            (qo, cout) = views[12]
+            fwd = fwd & (qo[..., None] <= 0)
+            rev = rev & (cout[:, :, None, :] <= 0)
 
         h_q = jnp.where(qh > 0, qh, 1.0)[..., None]
         h_c = jnp.where(ch > 0, ch, 1.0)[:, :, None, :]
@@ -496,22 +654,61 @@ def tile_sph_forces(
         GPg = GPg + assemble(cgp_t)
 
     # per-particle extraction (N small gathers per output plane)
-    iz, iy, ix = pz - 1, py - 1, px - cap
     acc = jnp.stack([AXg[iz, iy, ix], AYg[iz, iy, ix], AZg[iz, iy, ix]], axis=1)
+    rho_p = RHOg[iz, iy, ix]
+    h_p = Hg[iz, iy, ix]
+    cs_p = (
+        CSg[iz, iy, ix] if eos == "polytropic" else jnp.full((n,), cs0, dtype)
+    )
+    mu_p = MUg[iz, iy, ix]
+    div_p = DIVg[iz, iy, ix]
+    visc_p = VKg[iz, iy, ix]
+    g_p = [GXg[iz, iy, ix], GYg[iz, iy, ix], GZg[iz, iy, ix], GPg[iz, iy, ix]]
+
+    if outlier_budget > 0:
+        # exact pair forces for the outlier rows (reference scatter
+        # semantics), plus the softened-gravity corrections their long
+        # reach needs beyond the tile stencil
+        from .outliers import outlier_forces, outlier_gravity_corr
+
+        por2_p = (
+            K.astype(dtype) * jnp.where(rho_p > 0, rho_p, 1.0) ** (gamma - 2.0)
+            if eos == "polytropic"
+            else cs0**2 / jnp.where(rho_p > 0, rho_p, 1.0)
+        )
+        row, scat = outlier_forces(
+            pos, vel, out_rows, out_idx, h_p, rho_p, por2_p, cs_p, m,
+            eos=eos, alpha=alpha, beta=beta,
+        )
+        safe = jnp.minimum(out_rows, n - 1)
+        drop = jnp.where(out_rows < n, safe, n)
+        # additive: outlier slots keep their in-tile reverse terms (their
+        # zeroed forward terms are recomputed exactly by the outlier pass)
+        acc = acc.at[drop].add(row["acc"], mode="drop")
+        visc_p = visc_p.at[drop].add(row["visc_dk"], mode="drop")
+        # forward-only reductions are garbage at outlier slots: replace
+        mu_p = mu_p.at[drop].set(row["mu_max"], mode="drop")
+        div_p = div_p.at[drop].set(row["div_sum"], mode="drop")
+        acc = acc + jnp.stack([scat["ax"], scat["ay"], scat["az"]], axis=1)
+        visc_p = visc_p + scat["visc"]
+
+        dg, dphi = outlier_gravity_corr(
+            pos, h_p, out_rows, out_mask, m, half, s, g
+        )
+        g_p[0] = g_p[0] + dg[:, 0]
+        g_p[1] = g_p[1] + dg[:, 1]
+        g_p[2] = g_p[2] + dg[:, 2]
+        g_p[3] = g_p[3] + dphi
+
     out = ReducedForces(
         acc=acc,
-        rho=RHOg[iz, iy, ix],
-        h=Hg[iz, iy, ix],
-        cs=CSg[iz, iy, ix] if eos == "polytropic" else jnp.full((n,), cs0, dtype),
-        mu_max=MUg[iz, iy, ix],
-        div_sum=DIVg[iz, iy, ix],
-        visc_dk=VKg[iz, iy, ix],
+        rho=rho_p,
+        h=h_p,
+        cs=cs_p,
+        mu_max=mu_p,
+        div_sum=div_p,
+        visc_dk=visc_p,
     )
-    grav_corr = (
-        GXg[iz, iy, ix],
-        GYg[iz, iy, ix],
-        GZg[iz, iy, ix],
-        GPg[iz, iy, ix],
-    )
+    grav_corr = tuple(g_p)
     ok = (~overflow) & rows_ok
     return out, grav_corr, ok

@@ -82,6 +82,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="tile-path far field: exact softened N^2 sweep or "
                         "P3M FFT mesh (auto: P3M above the measured "
                         "crossover N)")
+    p.add_argument("--n-devices", type=int, default=1,
+                   help="Run the sharded tile engine over this many devices "
+                        "(1-D mesh, z-slab decomposition + ppermute halo "
+                        "exchange). 1 = single-chip engine.")
     p.add_argument("--max-steps", type=int, default=None,
                    help="Stop after this many steps (debug/bench)")
     p.add_argument("--quiet", action="store_true", help="Suppress per-step prints")
@@ -126,6 +130,7 @@ def main(argv=None) -> int:
             dtype=args.dtype,
             engine=args.engine,
             gravity=args.gravity,
+            n_devices=args.n_devices,
             max_steps=args.max_steps,
             verbose=not args.quiet,
         )

@@ -66,6 +66,7 @@ def run_simulation(
     dtype: str = "float32",
     engine: str = "auto",
     gravity: str = "auto",
+    n_devices: int = 1,
     max_steps: Optional[int] = None,
     verbose: bool = True,
 ) -> dict:
@@ -77,7 +78,12 @@ def run_simulation(
     the neighbor-list engine.
     gravity: "auto" switches the tile path from the exact O(N^2) softened
     sweep to P3M (FFT mesh + in-tile correction) above P3M_MIN_N particles,
-    where the sweep stops being competitive; "exact"/"p3m" force a mode."""
+    where the sweep stops being competitive; "exact"/"p3m" force a mode.
+    n_devices > 1 runs the sharded tile engine (z-slab decomposition +
+    ppermute halo exchange, sphtpu.shard.tiles) over a 1-D device mesh;
+    slabs are re-planned between chunks and a chunk whose certification
+    trips is re-planned and resumed (never wrong physics). Snapshot/stats
+    I/O is unchanged: state gathers to host at chunk boundaries."""
     start_wall = time.time()
     snap = read_snapshot(snapshot_path(root, ic_type, str(snap_id)))
     c = dict(snap["constants"])
@@ -120,6 +126,73 @@ def run_simulation(
         if cfg not in _runner_cache:
             _runner_cache[cfg] = make_chunk_runner(cfg)
         return _runner_cache[cfg]
+
+    mesh = None
+    if n_devices > 1:
+        import jax
+        from jax.sharding import Mesh
+
+        from ..shard.tiles import AXIS, pack_state, plan_slabs, unpack_rows
+
+        devs = jax.devices()[:n_devices]
+        if len(devs) < n_devices:
+            raise ValueError(
+                f"n_devices={n_devices} but only {len(devs)} devices visible"
+            )
+        mesh = Mesh(np.array(devs), (AXIS,))
+        _slab_cache = {}
+
+        def get_slab_chunk(cfg_s, plan):
+            from ..shard.tiles import make_slab_chunk_runner
+
+            key = (cfg_s, plan.static_key)
+            if key not in _slab_cache:
+                _slab_cache[key] = make_slab_chunk_runner(cfg_s, plan, mesh)
+            return _slab_cache[key]
+
+    def run_chunk_sharded(state, h_host, n_steps):
+        """One sharded chunk. Returns (state', stats, valid, h_host',
+        rho_host, cert_fired) — or None when no slab plan certifies (the
+        caller falls back to the single-device path for this chunk)."""
+        plan = plan_slabs(
+            np.asarray(state.pos), h_host, kh, n_devices,
+            chunk_steps=n_steps,
+        )
+        if plan is None:
+            return None
+        grav = (
+            "p3m"
+            if gravity == "p3m" or (gravity == "auto" and n >= P3M_MIN_N)
+            else "exact"
+        )
+        cfg_s = EngineConfig(
+            n=n, kh=kh, eos=eos, dtype=dtype, tile=(plan.grid, plan.cap),
+            gravity=grav,
+        )
+        chunk = get_slab_chunk(cfg_s, plan)
+        sl = pack_state(state, plan, mesh)
+        sl2, stats, valid, cert, h_rows, rho_rows = chunk(
+            sl, params, jnp.asarray(plan.z0s, jnp.int32), plan.half,
+            n_steps=n_steps,
+        )
+        state2 = State(
+            pos=jnp.asarray(unpack_rows(np.asarray(sl2.pos), plan, n), jd),
+            vel=jnp.asarray(unpack_rows(np.asarray(sl2.vel), plan, n), jd),
+            K=jnp.asarray(unpack_rows(np.asarray(sl2.K), plan, n), jd),
+            t=sl2.t,
+        )
+        h2 = unpack_rows(np.asarray(h_rows, np.float64), plan, n)
+        rho2 = unpack_rows(np.asarray(rho_rows, np.float64), plan, n)
+        cert_fired = bool(np.asarray(cert).any())
+        if cert_fired:
+            # frozen steps left h/rho at their pre-freeze values for the
+            # executed prefix; recompute the planning h on the host so the
+            # re-plan sees the real state
+            d_knn, _ = cKDTree(np.asarray(state2.pos)).query(
+                np.asarray(state2.pos), k=kh
+            )
+            h2 = d_knn[:, -1] / 2.0
+        return state2, stats, valid, h2, rho2, cert_fired
 
     def pick_cfg(h_host: np.ndarray, pos_host: np.ndarray) -> EngineConfig:
         if engine != "auto":
@@ -232,6 +305,10 @@ def run_simulation(
 
     timer = StageTimer()
     total_fallbacks = 0
+    total_replans = 0
+    total_sharded = 0
+    consec_fail = 0
+    force_single = 0  # chunks to force onto the single-device path
     while float(state.t) < t_end_code:
         if max_steps is not None and total_steps >= max_steps:
             break
@@ -244,15 +321,35 @@ def run_simulation(
         if max_steps is not None:
             n_steps = min(n_steps, max_steps - total_steps)
 
-        with timer("pick_grid"):
-            cfg = pick_cfg(h_host, np.asarray(state.pos))
-            chunk = get_chunk(cfg)
-        with timer("chunk_steps"):
-            state, stats_code, valid, h_dev, rho_dev, nfb = chunk(
-                state, params, h_dev, n_steps=n_steps
-            )
-            h_host = np.asarray(h_dev, np.float64)
-        n_fb = int(np.asarray(nfb).sum())
+        n_fb = 0
+        res = None
+        if mesh is not None and not force_single:
+            with timer("chunk_steps_sharded"):
+                res = run_chunk_sharded(state, h_host, n_steps)
+        if res is not None:
+            state, stats_code, valid, h_host, rho_host, cert_fired = res
+            h_dev = jnp.asarray(h_host, jd)
+            total_sharded += 1
+            if cert_fired:
+                total_replans += 1
+                if verbose:
+                    print("[shard] certification tripped; re-planning slabs")
+        else:
+            if mesh is not None:
+                # no certifiable slab plan (or forced off): run this chunk
+                # single-device — correctness first, locality next chunk
+                force_single = max(force_single - 1, 0)
+            with timer("pick_grid"):
+                cfg = pick_cfg(h_host, np.asarray(state.pos))
+                chunk = get_chunk(cfg)
+            with timer("chunk_steps"):
+                state, stats_code, valid, h_dev, rho_dev, nfb = chunk(
+                    state, params, h_dev, n_steps=n_steps
+                )
+                h_host = np.asarray(h_dev, np.float64)
+                rho_host = np.asarray(rho_dev, np.float64)
+            cert_fired = False
+            n_fb = int(np.asarray(nfb).sum())
         total_fallbacks += n_fb
         if verbose and n_fb:
             print(f"[neighbors] {n_fb} force evals fell back to the gather engine")
@@ -260,7 +357,16 @@ def run_simulation(
         valid = np.asarray(valid)
         n_valid = int(valid.sum())
         if n_valid == 0:
+            if cert_fired:
+                # zero progress from a failed sharded chunk: the re-plan
+                # already has fresh h; a second consecutive immediate
+                # failure forces the next chunk onto the single-device path
+                consec_fail += 1
+                if consec_fail >= 2:
+                    force_single = 1
+                continue
             break
+        consec_fail = 0
         stats_cgs = _stats_to_cgs(stats_code[:n_valid], u)
         for j in range(n_valid):
             stats_file.update_row(iter_id + j, stats_cgs[j])
@@ -288,9 +394,7 @@ def run_simulation(
         counter = 1 if on_boundary else counter + n_valid
         if on_boundary or at_end:
             with timer("snapshot_io"):
-                do_snapshot(
-                    last_iter, last_stats_code, np.asarray(rho_dev, np.float64)
-                )
+                do_snapshot(last_iter, last_stats_code, rho_host)
 
     stats_file.close()
     runtime = time.time() - start_wall
@@ -303,6 +407,8 @@ def run_simulation(
     return {
         "steps": total_steps,
         "fallback_evals": total_fallbacks,
+        "shard_replans": total_replans,
+        "sharded_chunks": total_sharded,
         "t_cgs": float(state.t) * u.T,
         "iter_id": iter_id,
         "snapshot_ids": snapshot_ids,

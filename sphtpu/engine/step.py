@@ -65,10 +65,15 @@ def force_eval(cfg: EngineConfig, p: Params, pos, vel, K, h_hint, ghat=None):
     if cfg.tile is not None:
         grid, cap = cfg.tile
         p3m = cfg.gravity == "p3m"
+        # the Pallas phase A pre-stacks 4 fields of (grid^3, 27*cap)
+        # candidates in HBM; beyond ~1.6 GB (measured: grid 27/cap 128
+        # fits, grid 33/cap 128 OOMs a 16 GB v5e) the HBM savings flip
+        # sign, so auto mode falls back to the streaming XLA formulation
+        prestack_bytes = 4 * grid**3 * 27 * cap * 4
         use_pallas = (
             cfg.pallas_a
             if cfg.pallas_a is not None
-            else jax.default_backend() == "tpu"
+            else jax.default_backend() == "tpu" and prestack_bytes <= 1.6e9
         )
         tf, gcorr, ok = tile_sph_forces(
             pos,

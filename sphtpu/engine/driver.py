@@ -197,7 +197,31 @@ def run_simulation(
     def pick_cfg(h_host: np.ndarray, pos_host: np.ndarray) -> EngineConfig:
         if engine != "auto":
             return base_cfg
-        tp = choose_tile_params_ml(pos_host, h_host, kh)
+        # compile-aware hysteresis: a tile compile costs minutes (remote
+        # AOT), so prefer ANY already-compiled config whose host-side
+        # forecast still certifies (cheapest by the slot-work model) over
+        # planning — and compiling — a fresh one; the in-engine
+        # certificate stays the safety net. Fresh plans use enlarged
+        # headroom/budget margins so each compiled config survives more
+        # drift before the forecast fails.
+        from ..physics.tiles import tile_params_still_ok
+
+        cached = [
+            c for c in _runner_cache
+            if c.tile is not None
+            and tile_params_still_ok(
+                pos_host, h_host, c.tile[0], c.tile[1], c.outlier_budget
+            )
+        ]
+        if cached:
+            return min(
+                cached,
+                key=lambda c: c.tile[0] ** 3 * c.tile[1] ** 2 * 27.0
+                + n * float(c.outlier_budget),
+            )
+        tp = choose_tile_params_ml(
+            pos_host, h_host, kh, headroom=1.5, budget_margin=2.0
+        )
         if tp is None:
             return base_cfg
         grid, cap, budget = tp

@@ -1,4 +1,12 @@
-"""Hierarchical Morton-grid kNN: the O(N*C) neighbor path.
+"""Hierarchical Morton-grid kNN: experimental multi-level neighbor path.
+
+STATUS: not on the production path. The engine's answer to strong h
+contrast is the two-species split (physics/tiles.py grid sized for the
+dense bulk + physics/outliers.py exact lane for the large-h tail), which
+measured faster than per-level searches here. This module is kept (with
+its tests) as the working basis for a future true multi-level tile
+engine, where per-level cell blocking would replace the outlier budget
+entirely.
 
 Replaces the reference's KD-tree (getNeighbors,
 polytrope_hydroKDTree.jl:118-163) with the space-filling-curve layout GPU

@@ -11,7 +11,9 @@ running-top-k:
           merge into the running (Bq, K) best via lax.top_k
 
 Static shapes, no recompilation between steps, O(M*N) work streamed on the
-VPU; the cell-list module provides the O(N*C) path at scale. The per-axis
+VPU. (At scale the production O(N) neighbor path is the masked cell-tile
+engine, physics/tiles.py — this module is the always-correct fallback,
+the oracle in tests, and the outlier lane's exact pass.) The per-axis
 diff form (not the |q|^2+|c|^2-2qc matmul form) is deliberate: it is exact
 in f32 where the matmul form loses low bits to cancellation, so the
 returned d2 can be trusted directly (see the inline comment below).

@@ -100,6 +100,7 @@ def choose_tile_params_ml(
     safety: float = 1.05,
     cap_max: int = 256,
     headroom: float = 1.25,
+    budget_margin: float = 1.3,
     slots_max: int = 12_000_000,
     budgets=(256, 512, 1024, 2048, 4096, 8192, 16384, 32768, 65536),
 ):
@@ -147,7 +148,9 @@ def choose_tile_params_ml(
         if n_out == 0:
             budget = 0
         else:
-            budget = next((b for b in budgets if b >= n_out * 1.3 + 64), None)
+            budget = next(
+                (b for b in budgets if b >= n_out * budget_margin + 64), None
+            )
             if budget is None:
                 continue
         c = np.clip((pos_code + half) // s_eff, 0, grid - 1).astype(np.int64)
@@ -165,6 +168,49 @@ def choose_tile_params_ml(
     if best is None:
         return None
     return best[1], best[2], best[3]
+
+
+def tile_params_still_ok(
+    pos_code,
+    h,
+    grid: int,
+    cap: int,
+    budget: int,
+    *,
+    occ_slack: float = 1.1,
+    budget_slack: float = 1.25,
+    slots_max: int = 12_000_000,
+):
+    """Host-side forecast: can the ALREADY-COMPILED (grid, cap, budget)
+    config still certify on the current state?
+
+    Compiling a tile program costs minutes on the remote-AOT path, so the
+    driver keeps the previous chunk's config as long as this cheap check
+    passes (hysteresis) instead of re-planning — and re-compiling — every
+    chunk as h drifts. The engine's per-evaluation certificate remains the
+    safety net: a wrong forecast costs a fallback, never physics.
+
+    Bulk rows (h * OUTLIER_CUT <= cell edge) automatically satisfy the
+    r_k <= s certification bound; the checks are occupancy-with-slack,
+    outlier count within budget-with-slack, and the slot-memory cap.
+    """
+    import numpy as np
+
+    from .outliers import OUTLIER_CUT
+
+    pos_code = np.asarray(pos_code)
+    h = np.asarray(h)
+    half = float(np.abs(pos_code).max()) * (1 + 1e-6)
+    s_eff = 2.0 * half / grid
+    n_out = int(np.sum(h * OUTLIER_CUT > s_eff))
+    if n_out > budget / budget_slack:
+        return False
+    if grid**3 * cap > slots_max:
+        return False
+    c = np.clip((pos_code + half) // s_eff, 0, grid - 1).astype(np.int64)
+    cells = (c[:, 2] * grid + c[:, 1]) * grid + c[:, 0]
+    cmax = int(np.bincount(cells, minlength=grid**3).max())
+    return cmax * occ_slack <= cap
 
 
 def _bin_particles(pos, grid, cap, half):

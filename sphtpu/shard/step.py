@@ -1,5 +1,12 @@
 """Multi-chip particle-sharded simulation step (shard_map over a Mesh).
 
+NOTE: this is the REFERENCE formulation of the distributed layer — simple,
+always-correct, O(N) per-chip memory via all_gather. The production
+multi-chip path is the sharded tile engine (shard/tiles.py: z-slab
+decomposition + ppermute halo exchange), which the driver uses for
+--n-devices runs; this module remains as its correctness oracle and the
+fallback formulation.
+
 The reference is single-process with a shared-memory KD-tree/octree
 (SURVEY.md §2 parallelism checklist: no distributed backend exists there).
 The TPU-native replacement shards the particle axis over a 1-D device mesh

@@ -36,9 +36,32 @@ def _enable_compile_cache():
 
     if os.environ.get("SPHTPU_NO_COMPILE_CACHE"):
         return
+    # XLA:CPU executables are host-ISA-specific: loading one cached on a
+    # machine with different CPU features aborts the process (observed:
+    # "+prefer-no-scatter not supported ... SIGILL" then Fatal Python
+    # error during a fetch). Scope the cache per host fingerprint so a
+    # box change starts a fresh cache instead of loading poison.
+    def _host_tag():
+        try:
+            with open("/proc/cpuinfo") as f:
+                for line in f:
+                    if line.startswith("flags"):
+                        import hashlib
+
+                        return hashlib.sha256(
+                            line.encode()
+                        ).hexdigest()[:12]
+        except OSError:
+            pass
+        import platform
+
+        return platform.machine() or "unknown"
+
     path = os.environ.get(
         "SPHTPU_COMPILE_CACHE",
-        os.path.join(os.path.expanduser("~"), ".cache", "jax_sphtpu"),
+        os.path.join(
+            os.path.expanduser("~"), ".cache", "jax_sphtpu", _host_tag()
+        ),
     )
     try:
         os.makedirs(path, exist_ok=True)

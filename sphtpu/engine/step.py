@@ -68,12 +68,18 @@ def force_eval(cfg: EngineConfig, p: Params, pos, vel, K, h_hint, ghat=None):
         # the Pallas phase A pre-stacks 4 fields of (grid^3, 27*cap)
         # candidates in HBM; beyond ~1.6 GB (measured: grid 27/cap 128
         # fits, grid 33/cap 128 OOMs a 16 GB v5e) the HBM savings flip
-        # sign, so auto mode falls back to the streaming XLA formulation
+        # sign, so auto mode falls back to the streaming XLA formulation.
+        # The kernel's VMEM working set also scales with cap: cap = 128
+        # compiles (measured), cap = 160 exceeds the 16 MB scoped-vmem
+        # stack — a PERMANENT compile error, so cap > 128 must never
+        # reach the Pallas path.
         prestack_bytes = 4 * grid**3 * 27 * cap * 4
         use_pallas = (
             cfg.pallas_a
             if cfg.pallas_a is not None
-            else jax.default_backend() == "tpu" and prestack_bytes <= 1.6e9
+            else jax.default_backend() == "tpu"
+            and prestack_bytes <= 1.6e9
+            and cap <= 128
         )
         tf, gcorr, ok = tile_sph_forces(
             pos,

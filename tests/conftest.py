@@ -11,6 +11,18 @@ long as no backend has been initialized yet).
 
 import os
 
+# raise the soft fd limit to the hard limit: a long suite accumulates
+# XLA:CPU executables + 8-virtual-device collective plumbing, and fd
+# exhaustion aborts the process with no message
+try:
+    import resource
+
+    _soft, _hard = resource.getrlimit(resource.RLIMIT_NOFILE)
+    if _soft < _hard:
+        resource.setrlimit(resource.RLIMIT_NOFILE, (_hard, _hard))
+except Exception:
+    pass
+
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:

@@ -26,9 +26,19 @@ except Exception:
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_collective" not in flags:
+    # 8 virtual devices timeshare few host cores; the shard_map tests'
+    # collective rendezvous can exceed XLA:CPU's default stuck/terminate
+    # watchdogs late in a long suite (observed: "Expected 8 threads to
+    # join the rendezvous" warnings escalating to a fatal abort). Give
+    # the rendezvous room instead of dying.
+    flags += (
+        " --xla_cpu_collective_timeout_seconds=900"
+        " --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
+        " --xla_cpu_collective_call_terminate_timeout_seconds=900"
+    )
+os.environ["XLA_FLAGS"] = flags
 os.environ.setdefault("JAX_ENABLE_X64", "1")
 
 import jax  # noqa: E402

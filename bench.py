@@ -106,20 +106,33 @@ def bench_hard_regime():
         return {}
     from sphtpu.engine import EngineConfig, Params, State, make_chunk_runner
     from sphtpu.engine.driver import P3M_MIN_N
+    from sphtpu.physics.mlevel import plan_mlevel
     from sphtpu.physics.tiles import choose_tile_params_ml
 
     d = np.load(HARD_STATE)
     n = d["pos"].shape[0]
     jd = jnp.float32
-    tp = choose_tile_params_ml(d["pos"], d["h"], KH)
-    if tp is None:
-        return {"hard_note": "no certifiable tile config (gather regime)"}
-    grid, cap, budget = tp
-    cfg = EngineConfig(
-        n=n, kh=KH, eos="polytropic", dtype="float32", tile=(grid, cap),
-        gravity="p3m" if n >= P3M_MIN_N else "exact",
-        outlier_budget=budget,
-    )
+    grav = "p3m" if n >= P3M_MIN_N else "exact"
+    ml = plan_mlevel(d["pos"], d["h"], KH, gravity=grav)
+    mlargs = None
+    if ml is not None:
+        spec, mlargs = ml
+        cfg = EngineConfig(
+            n=n, kh=KH, eos="polytropic", dtype="float32", mlevel=spec,
+            gravity=grav,
+        )
+        hard_engine = {"hard_mlevel": [list(lv) for lv in spec[0]],
+                       "hard_res_budget": spec[1]}
+    else:
+        tp = choose_tile_params_ml(d["pos"], d["h"], KH)
+        if tp is None:
+            return {"hard_note": "no certifiable tile config (gather regime)"}
+        grid, cap, budget = tp
+        cfg = EngineConfig(
+            n=n, kh=KH, eos="polytropic", dtype="float32", tile=(grid, cap),
+            gravity=grav, outlier_budget=budget,
+        )
+        hard_engine = {"hard_tile": [grid, cap], "hard_outlier_budget": budget}
     params = Params(
         m=jnp.asarray(float(d["m"]), jd),
         gamma=jnp.asarray(5.0 / 3.0, jd),
@@ -138,23 +151,25 @@ def bench_hard_regime():
     h0 = jnp.asarray(d["h"], jd)
     chunk = make_chunk_runner(cfg)
     state_w, stats, valid, h_w, _, nfb = chunk(
-        state, params, h0, n_steps=BENCH_STEPS
+        state, params, h0, n_steps=BENCH_STEPS, mlargs=mlargs
     )
     fetch((stats, valid, nfb))
     t0 = time.time()
-    _, stats, valid, _, _, nfb = chunk(state_w, params, h_w, n_steps=BENCH_STEPS)
+    _, stats, valid, _, _, nfb = chunk(
+        state_w, params, h_w, n_steps=BENCH_STEPS, mlargs=mlargs
+    )
     fetch((stats, valid, nfb))
     elapsed = time.time() - t0
     assert bool(np.asarray(valid).all())
-    return {
+    out = {
         "hard_n_particles": n,
         "hard_contrast": float(d["contrast"]),
         "hard_particle_steps_per_s": round(n * BENCH_STEPS / elapsed, 1),
         "hard_ms_per_force_pass": round(elapsed / (BENCH_STEPS * 2) * 1e3, 2),
         "hard_fallback_evals": int(np.asarray(nfb).sum()),
-        "hard_tile": [grid, cap],
-        "hard_outlier_budget": budget,
     }
+    out.update(hard_engine)
+    return out
 
 
 def main():

@@ -89,11 +89,31 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-steps", type=int, default=None,
                    help="Stop after this many steps (debug/bench)")
     p.add_argument("--quiet", action="store_true", help="Suppress per-step prints")
+    p.add_argument("--watch", action="store_true",
+                   help="Follow a run from another process: re-render the "
+                        "newest snapshot's figures to graphs/latest_*.png "
+                        "whenever one appears (the live-dashboard stand-in "
+                        "for the reference's GLMakie screens)")
+    p.add_argument("--watch-interval", type=float, default=5.0,
+                   help="Seconds between --watch polls")
     return p
 
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+
+    if args.watch:
+        from .viz import watch
+
+        print(
+            f"Watching snapshots of {args.ic_type} under {args.root} "
+            "(ctrl-C to stop)"
+        )
+        watch(
+            args.root, args.ic_type, args.EOS,
+            interval_s=args.watch_interval,
+        )
+        return 0
 
     if args.generate:
         from .scenes import iniconds_setup

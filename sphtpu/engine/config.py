@@ -41,14 +41,22 @@ class EngineConfig:
     # certify on the tile grid take an exact O(B*N) lane, letting the grid
     # track the dense bulk through gravitational collapse. 0 = mono-level.
     outlier_budget: int = 0
+    # multi-level tile engine spec (physics/mlevel.py):
+    # ( ((grid, cap, n_act_a, n_act_b), ...), res_budget, mesh_level, nc ).
+    # Mutually exclusive with `tile`; the per-chunk active-strip lists are
+    # TRACED arguments (MLArgs) threaded through the chunk runner, so a
+    # drifting state refreshes them without recompiling.
+    mlevel: tuple = None
 
     def __post_init__(self):
         if self.eos not in ("polytropic", "isothermal"):
             raise ValueError(f"unknown EOS {self.eos!r}")
         if self.gravity not in ("exact", "p3m"):
             raise ValueError(f"unknown gravity mode {self.gravity!r}")
-        if self.gravity == "p3m" and self.tile is None:
-            raise ValueError("p3m gravity requires the tile engine")
+        if self.gravity == "p3m" and self.tile is None and self.mlevel is None:
+            raise ValueError("p3m gravity requires a tile engine")
+        if self.tile is not None and self.mlevel is not None:
+            raise ValueError("tile and mlevel are mutually exclusive")
 
     @property
     def jdtype(self):
@@ -57,7 +65,8 @@ class EngineConfig:
     @property
     def mesh_gm(self) -> int:
         """Live mesh cells per edge (p3m mode)."""
-        return self.mesh_factor * self.tile[0]
+        g0 = self.tile[0] if self.tile is not None else self.mlevel[0][0][0]
+        return self.mesh_factor * g0
 
     @property
     def mesh_pad(self) -> int:

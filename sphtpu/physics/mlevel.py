@@ -1,0 +1,1368 @@
+"""Multi-level masked cell-tile SPH engine: tile-shaped work at every h scale.
+
+Round 2's two-species engine (physics/tiles.py + physics/outliers.py) sized
+one grid for the dense bulk and routed the large-h tail through an exact
+O(B*N) lane; in deep collapse B reached 2/3 N and throughput fell 17x
+(VERDICT r2). This engine generalizes to L levels so EVERY h scale gets
+tile-shaped (slice-only, gather-free) work:
+
+*   L independent grids, fine -> coarse (edges s_0 < s_1 < ...). Every
+    particle is binned into EVERY level's slot planes (it is a candidate
+    everywhere) but is a QUERY only at its species level: the finest level
+    with OUTLIER_CUT * h_hint <= s_l. Rows too big for the coarsest level
+    go to a streaming residual lane (exact, O(B_res*N), B_res small).
+*   Within one level the hot loops are exactly the tiles.py sweeps: padded
+    slot planes, 3x3-stacked candidate slices, 4-ary count bisection for
+    the exact r_Kh (h = r_Kh/2, polytrope_hydroKDTree.jl:151), forward +
+    reverse masked pair terms for the symmetric scatter (hydroCalculation,
+    polytrope_hydroKDTree.jl:229-245).
+*   Sweeps run only over ACTIVE (z, x) strip tiles, passed as traced index
+    vectors with a static padded length: phase A sweeps strips containing
+    species-l queries; phase B sweeps those plus strips a species-l source
+    can reach (one-cell dilation). Collapse concentrates each species in a
+    shell, so most strips are inactive at most levels — the active lists
+    give block-sparsity with zero recompilation as the state drifts (only
+    the static lengths are compile keys).
+*   Coarse cells over the dense core would need huge capacities; instead a
+    cell whose occupancy exceeds cap_l is OPAQUE (excess slots dropped,
+    species-l rows slotted first so queries/sources are never dropped) and
+    certification demands every species-l row's interaction sphere keeps
+    clear of opaque cells: mindist(row, cell) > h_row + s_l/2 — which
+    bounds both its kNN radius (2h) and its softened-gravity reach
+    (h_row + h_partner). The planner routes rows that would graze an
+    opaque cell into the residual lane preemptively; the in-engine check
+    on FOUND values remains the safety net (a wrong hint costs a fallback,
+    never physics — including the case where dropped true neighbors
+    inflate the found r_k, since those dropped rows sit in opaque cells
+    within the certified clearance).
+*   Pair-type partition (each pair direction counted exactly once):
+    hydro fwd at the query's species level; hydro reverse at the source's
+    species level; near-field gravity corrections at max(species) of the
+    pair; residual-involving pairs entirely in the residual lane (residual
+    rows take their complete forces from it; their slots' partial plane
+    sums are discarded at merge).
+*   Far field: "exact" keeps the global pure-Newtonian all-pairs sweep;
+    "p3m" keeps the FFT mesh anchored to the level-0 grid exactly as in
+    tiles.py, with the 5^3 (Newtonian - mesh shape) tail pass on the
+    level-0 planes over its nonempty strips (level 0 is certified
+    opacity-free in p3m mode so every particle is present for the
+    geometric pass).
+
+Certification is a single collective `ok` with the same contract as
+tiles.py: False => the caller must discard the result and use the gather
+fallback. See tests/test_mlevel.py (parity vs the gather engine on the
+committed deep-collapse fixture).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from scipy.ndimage import binary_dilation
+
+from ..kernels import W, grad_W_over_r, softened_gphi_over_r, softened_phi
+from .mesh_gravity import newton_minus_mesh
+from .outliers import OUTLIER_CUT
+from .tiles import ReducedForces
+
+# snapped menus keep distinct compiled configurations rare across a run
+GRID_MENU = (2, 3, 4, 5, 6, 8, 10, 13, 16, 20, 26, 32, 40, 52, 64, 80, 104, 128)
+CAP_MENU = (32, 48, 64, 96, 128, 192, 256, 384, 512)
+ACT_GRAN = 32  # active-strip list length granularity
+
+
+class MLArgs(NamedTuple):
+    """Per-chunk traced arguments. Lengths/shapes are static (part of the
+    compile key via MLSpec + N); contents are traced and refresh every
+    chunk without recompiling.
+
+    species is the host's ROUTING decision (finest admissible level per
+    row, with opaque-cell grazers demoted to the residual lane). It is a
+    hint, never a correctness input: every species-l row is certified
+    in-engine on FOUND values (r_k <= s_l, opacity clearance), and the
+    residual lane is exact regardless of membership."""
+
+    act_a: tuple  # per level: (na_l,) int32, padded by repeating a valid id
+    act_b: tuple  # per level: (nb_l,) int32
+    act_c: jnp.ndarray | None  # (nc,) int32 strips at the mesh level (p3m)
+    species: jnp.ndarray = None  # (N,) int32 in [0, L]; L = residual
+
+
+# MLSpec is carried inside EngineConfig as a plain nested tuple (hashable):
+#   ( ((grid, cap, na, nb), ...per level...),
+#     res_budget, mesh_level, nc )
+# mesh_level = -1 for exact gravity; nc = 0 then.
+
+
+def _snap_up(menu, v):
+    for m in menu:
+        if m >= v:
+            return m
+    return menu[-1]
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return -(-max(x, 1) // m) * m
+
+
+def _species_of(h, s_edges, cut=OUTLIER_CUT):
+    """Finest level l with cut*h <= s_l; len(s_edges) = residual."""
+    sp = np.full(h.shape[0], len(s_edges), np.int32)
+    for l in range(len(s_edges) - 1, -1, -1):
+        sp[cut * h <= s_edges[l]] = l
+    return sp
+
+
+def _host_layout(pos, h, levels, half, cache=None):
+    """Shared host-side geometry: species, per-level cells/occupancy.
+    cache (optional dict keyed by grid) amortizes the binning across the
+    planner's many candidate evaluations."""
+    s_edges = [2.0 * half / g for g, _ in levels]
+    sp = _species_of(h, s_edges)
+    cells = []
+    occ = []
+    for (g, _), s in zip(levels, s_edges):
+        hit = cache.get(g) if cache is not None else None
+        if hit is None:
+            c = np.clip((pos + half) // s, 0, g - 1).astype(np.int64)
+            o = np.bincount(
+                (c[:, 2] * g + c[:, 1]) * g + c[:, 0], minlength=g**3
+            ).reshape(g, g, g)
+            if cache is not None:
+                cache[g] = (c, o)
+        else:
+            c, o = hit
+        cells.append(c)
+        occ.append(o)
+    return s_edges, sp, cells, occ
+
+
+def _graze(pos, half, rows, rcut, cell, opaque3, s, g):
+    """rows (indices into pos) whose ball of radius rcut touches an opaque
+    stencil cell. Host numpy; pos in centered coords, cells in [0,g)."""
+    if rows.size == 0 or not opaque3.any():
+        return np.zeros(rows.shape[0], bool)
+    p = pos[rows] + half  # box coords
+    cc = cell[rows]
+    graze = np.zeros(rows.shape[0], bool)
+    for dz in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                zz = cc[:, 2] + dz
+                yy = cc[:, 1] + dy
+                xx = cc[:, 0] + dx
+                inb = (
+                    (zz >= 0) & (zz < g) & (yy >= 0) & (yy < g)
+                    & (xx >= 0) & (xx < g)
+                )
+                op = np.zeros(rows.shape[0], bool)
+                op[inb] = opaque3[zz[inb], yy[inb], xx[inb]]
+                box_lo = np.stack([xx, yy, zz], 1).astype(p.dtype) * s
+                d = np.maximum(np.maximum(box_lo - p, p - (box_lo + s)), 0.0)
+                dmin = np.sqrt((d * d).sum(1))
+                graze |= op & (dmin <= rcut)
+    return graze
+
+
+def _strip_sets(cells, sp_mask, g):
+    """(active-A strip ids, active-B strip ids) for one level: strips
+    holding marked rows, and nonempty strips within one cell of them."""
+    sid_all = cells[:, 2] * g + cells[:, 0]
+    a2d = np.zeros((g, g), bool)
+    src = cells[sp_mask]
+    a2d[src[:, 2], src[:, 0]] = True
+    nonempty = np.zeros((g, g), bool)
+    nonempty[cells[:, 2], cells[:, 0]] = True
+    b2d = binary_dilation(a2d, np.ones((3, 3), bool)) & nonempty
+    act_a = np.flatnonzero(a2d.reshape(-1)).astype(np.int32)
+    act_b = np.flatnonzero(b2d.reshape(-1)).astype(np.int32)
+    return act_a, act_b, np.flatnonzero(nonempty.reshape(-1)).astype(np.int32)
+
+
+def _pad_act(ids, n_pad, n_tiles):
+    """Pad an active list by repeating a valid id (duplicates are
+    harmless: they recompute and rewrite identical tile outputs)."""
+    out = np.zeros(n_pad, np.int32)
+    if ids.size:
+        out[: ids.size] = ids[:n_pad]
+        out[ids.size :] = ids[0]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Host planner
+# ---------------------------------------------------------------------------
+
+# cost-model constants (ops per candidate slot scanned / per residual pair),
+# calibrated against measured v5e pass times (BASELINE.md)
+_OPS_A = 117.0
+_OPS_B = 70.0
+_OPS_C = 12.0
+_OPS_RES = 390.0
+_RATE = 7.0e11  # effective ops/s, only ratios matter
+
+
+def plan_mlevel(
+    pos_code,
+    h,
+    kh: int,
+    *,
+    gravity: str = "exact",
+    max_levels: int = 4,
+    cap_max: int = 512,
+    res_budget_max: int = 16384,
+    headroom: float = 1.25,
+    act_slack: float = 1.3,
+    slots_max: int = 12_000_000,
+    mesh_factor: int = 5,
+):
+    """Choose a multi-level spec for the current state.
+
+    Returns (spec_tuple, MLArgs-as-numpy dict) or None when no feasible
+    multi-level configuration exists (caller keeps mono-level/gather).
+    spec_tuple = (levels, res_budget, mesh_level, nc) with
+    levels = ((grid, cap, na, nb), ...).
+    """
+    pos_code = np.asarray(pos_code)
+    h = np.asarray(h)
+    n = h.shape[0]
+    half = float(np.abs(pos_code).max()) * (1 + 1e-6)
+
+    # fine grid from the dense bulk (30th h-quantile), snapped; coarser
+    # levels roughly 2x apart. Candidates: every ladder PREFIX (the
+    # residual lane absorbs whatever the coarsest kept level misses) x a
+    # generous and a tight capacity strategy (tight caps make more cells
+    # opaque and graze-route more rows to the residual lane; the cost
+    # model arbitrates).
+    g_fine = max(int(2.0 * half / (OUTLIER_CUT * float(np.quantile(h, 0.3)))), 2)
+    h_max = float(h.max())
+
+    best = None
+    layout_cache = {}
+    for g0 in {
+        _snap_up(GRID_MENU, max(g_fine // 2, 2)),
+        _snap_up(GRID_MENU, max(int(g_fine / 1.4), 2)),
+        _snap_up(GRID_MENU, g_fine),
+    }:
+        ladder = [g0]
+        while (
+            2.0 * half / ladder[-1] < OUTLIER_CUT * h_max
+            and len(ladder) < max_levels
+            and ladder[-1] > 2
+        ):
+            nxt = _snap_up(GRID_MENU, max(ladder[-1] // 2, 2))
+            if nxt >= ladder[-1]:
+                if ladder[-1] // 2 < 2:
+                    break
+                nxt = ladder[-1] // 2
+            ladder.append(nxt)
+        for n_keep in range(1, len(ladder) + 1):
+            for cap_q in (0.985, 0.9):
+                cand = _plan_for_grids(
+                    pos_code, h, kh, ladder[:n_keep], half,
+                    gravity=gravity, cap_max=cap_max,
+                    res_budget_max=res_budget_max, headroom=headroom,
+                    act_slack=act_slack, slots_max=slots_max,
+                    mesh_factor=mesh_factor, cap_quantile=cap_q,
+                    layout_cache=layout_cache,
+                )
+                if cand is not None and (best is None or cand[0] < best[0]):
+                    best = cand
+    if best is None:
+        return None
+    return best[1], best[2]
+
+
+def _plan_for_grids(
+    pos_code, h, kh, grids, half, *,
+    gravity, cap_max, res_budget_max, headroom, act_slack, slots_max,
+    mesh_factor, cap_quantile=0.985, layout_cache=None,
+):
+    n = h.shape[0]
+    levels0 = [(g, 0) for g in grids]
+    s_edges, sp, cells, occ = _host_layout(
+        pos_code, h, levels0, half, cache=layout_cache
+    )
+
+    caps = []
+    for l, g in enumerate(grids):
+        rows_l = sp == l
+        if rows_l.any():
+            # capacity covering the cells species-l rows interact with
+            # (their own stencil occupancy, tail-quantile with headroom);
+            # denser cells go opaque and graze-routing handles the rest
+            c = cells[l]
+            sid = (c[:, 2] * g + c[:, 1]) * g + c[:, 0]
+            occ_flat = occ[l].reshape(-1)
+            # occupancy of cells within the 27-stencil of species-l rows
+            stencil_occ = []
+            cc = c[rows_l]
+            if cc.shape[0] > 20000:  # quantile is statistical: subsample
+                cc = cc[:: cc.shape[0] // 20000 + 1]
+            for dz in (-1, 0, 1):
+                for dy in (-1, 0, 1):
+                    for dx in (-1, 0, 1):
+                        zz = np.clip(cc[:, 2] + dz, 0, g - 1)
+                        yy = np.clip(cc[:, 1] + dy, 0, g - 1)
+                        xx = np.clip(cc[:, 0] + dx, 0, g - 1)
+                        stencil_occ.append(occ[l][zz, yy, xx])
+            so = np.concatenate(stencil_occ)
+            need = float(np.quantile(so, cap_quantile)) * headroom
+        else:
+            need = 32
+        if l == 0 and gravity == "p3m":
+            # phase C (geometric mesh-tail pass) runs on level 0 and
+            # needs every particle present: no opaque cells allowed
+            need = float(occ[0].max())
+        cap = _snap_up(CAP_MENU, int(need))
+        if cap > cap_max:
+            if l == 0 and gravity == "p3m":
+                return None
+            cap = cap_max
+        caps.append(cap)
+
+    # route grazing rows to the residual lane; iterate once (routing can
+    # only shrink the species sets)
+    res = sp == len(grids)
+    for l, (g, cap) in enumerate(zip(grids, caps)):
+        opaque3 = occ[l] > cap
+        rows = np.flatnonzero(sp == l)
+        rcut = (h[rows] + 0.5 * s_edges[l]) * 1.1  # found-value margin
+        gz = _graze(pos_code, half, rows, rcut, cells[l], opaque3, s_edges[l], g)
+        res[rows[gz]] = True
+        sp[rows[gz]] = len(grids)
+
+    n_res = int(res.sum())
+    if n_res > res_budget_max:
+        return None
+    res_budget = _ceil_to(int(n_res * 1.5 + 64), 256) if n_res else 0
+
+    # species-l rows must fit their own cells' capacity (they have slot
+    # priority, but > cap own-species rows in one cell cannot certify)
+    for l, (g, cap) in enumerate(zip(grids, caps)):
+        rows_l = sp == l
+        if not rows_l.any():
+            continue
+        c = cells[l][rows_l]
+        cnt = np.bincount(
+            (c[:, 2] * g + c[:, 1]) * g + c[:, 0], minlength=g**3
+        ).max()
+        if cnt > cap:
+            return None
+
+    levels = []
+    acts_a, acts_b, nonempties = [], [], []
+    cost = 0.0
+    for l, (g, cap) in enumerate(zip(grids, caps)):
+        if g**3 * cap > slots_max:
+            return None
+        act_a, act_b, nonempty = _strip_sets(cells[l], sp == l, g)
+        na = min(_ceil_to(int(act_a.size * act_slack), ACT_GRAN), g * g)
+        nb = min(_ceil_to(int(act_b.size * act_slack), ACT_GRAN), g * g)
+        if act_a.size == 0:
+            na = nb = ACT_GRAN  # keep the level alive for drift
+        levels.append((g, cap, na, nb))
+        acts_a.append(act_a)
+        acts_b.append(act_b)
+        nonempties.append(nonempty)
+        cost += na * g * cap * 27 * cap * _OPS_A
+        cost += nb * g * cap * 27 * cap * _OPS_B
+    cost += float(n_res) * n * _OPS_RES
+
+    mesh_level = -1
+    nc = 0
+    if gravity == "p3m":
+        # the mesh anchors to level 0 (as in tiles.py): sigma is tied to
+        # the fine cell edge and the geometric 5^3 tail pass needs every
+        # particle present, which only level 0 (opacity-free) guarantees
+        mesh_level = 0
+        gml, capml = levels[0][0], levels[0][1]
+        nc = min(
+            _ceil_to(int(nonempties[0].size * act_slack), ACT_GRAN),
+            gml * gml,
+        )
+        cost += nc * gml * capml * 125 * capml * _OPS_C
+
+    spec = (tuple(levels), res_budget, mesh_level, nc)
+    args = _args_for_spec(spec, acts_a, acts_b, nonempties, sp)
+    if args is None:
+        return None
+    return cost, spec, args
+
+
+def _args_for_spec(spec, acts_a, acts_b, nonempties, species):
+    levels, res_budget, mesh_level, nc = spec
+    pa, pb = [], []
+    for (g, cap, na, nb), aa, ab in zip(levels, acts_a, acts_b):
+        if aa.size > na or ab.size > nb:
+            return None
+        pa.append(_pad_act(aa, na, g * g))
+        pb.append(_pad_act(ab, nb, g * g))
+    ac = None
+    if mesh_level >= 0:
+        ne = nonempties[mesh_level]
+        if ne.size > nc:
+            return None
+        gml = levels[mesh_level][0]
+        ac = _pad_act(ne, nc, gml * gml)
+    return MLArgs(
+        act_a=tuple(pa), act_b=tuple(pb), act_c=ac,
+        species=species.astype(np.int32),
+    )
+
+
+def mlevel_args_still_ok(pos_code, h, spec):
+    """Hysteresis: refresh MLArgs for an ALREADY-COMPILED spec from the
+    current state, or None when the spec cannot certify anymore (species
+    overflow a cap / an active list / the residual budget). Cheap host
+    forecast; the in-engine certificate remains the safety net."""
+    pos_code = np.asarray(pos_code)
+    h = np.asarray(h)
+    levels, res_budget, mesh_level, nc = spec
+    half = float(np.abs(pos_code).max()) * (1 + 1e-6)
+    grids = [lv[0] for lv in levels]
+    caps = [lv[1] for lv in levels]
+    s_edges, sp, cells, occ = _host_layout(
+        pos_code, h, [(g, 0) for g in grids], half
+    )
+    res = sp == len(grids)
+    for l, (g, cap) in enumerate(zip(grids, caps)):
+        opaque3 = occ[l] > cap
+        rows = np.flatnonzero(sp == l)
+        rcut = (h[rows] + 0.5 * s_edges[l]) * 1.1
+        gz = _graze(pos_code, half, rows, rcut, cells[l], opaque3, s_edges[l], g)
+        res[rows[gz]] = True
+        sp[rows[gz]] = len(grids)
+    if int(res.sum()) > res_budget:
+        return None
+    acts_a, acts_b, nonempties = [], [], []
+    for l, (g, cap) in enumerate(zip(grids, caps)):
+        rows_l = sp == l
+        if rows_l.any():
+            c = cells[l][rows_l]
+            cnt = np.bincount(
+                (c[:, 2] * g + c[:, 1]) * g + c[:, 0], minlength=g**3
+            ).max()
+            if cnt > cap:
+                return None
+        aa, ab, ne = _strip_sets(cells[l], rows_l, g)
+        acts_a.append(aa)
+        acts_b.append(ab)
+        nonempties.append(ne)
+    return _args_for_spec(spec, acts_a, acts_b, nonempties, sp)
+
+
+# ---------------------------------------------------------------------------
+# Device-side force evaluation
+# ---------------------------------------------------------------------------
+
+
+def _scatter_strips(vals, act, g, cap, init, dtype):
+    """Scatter lax.map-stacked strip outputs (na, 1, g, cap) into a
+    (g, g, g*cap) grid. Duplicate ids in act rewrite identical values."""
+    z = act // g
+    x = act % g
+    iy = jnp.arange(g)
+    ic = jnp.arange(cap)
+    grid = jnp.full((g, g, g * cap), init, dtype)
+    return grid.at[
+        z[:, None, None],
+        iy[None, :, None],
+        x[:, None, None] * cap + ic[None, None, :],
+    ].set(vals[:, 0])
+
+
+def _strip_views(planes, t, g, cap, depth):
+    """(query, stacked-candidates) views of one (z, x) strip tile.
+    depth=3: planes padded +1 cell each side; depth=5: +2 cells."""
+    d2o = depth // 2
+    z = (t // g).astype(jnp.int32)
+    x0 = ((t % g) * cap).astype(jnp.int32)
+    zero = jnp.int32(0)
+    outs = []
+    for p in planes:
+        sub = lax.dynamic_slice(
+            p, (z, zero, x0), (depth, g + 2 * d2o, depth * cap)
+        )
+        q = sub[d2o : d2o + 1, d2o : d2o + g, d2o * cap : (d2o + 1) * cap]
+        cands = jnp.stack(
+            [
+                sub[dz : dz + 1, dy : dy + g, :]
+                for dz in range(depth)
+                for dy in range(depth)
+            ],
+            axis=2,
+        ).reshape(1, g, depth * depth * depth * cap)
+        outs.append((q, cands))
+    return outs
+
+
+def _bisect_rk(d2m, kf, hi0, lo0, passes, dtype):
+    """4-ary count bisection for the k-th smallest masked distance
+    (identical scheme to physics/tiles.py phase A)."""
+
+    def bis(_, lohi):
+        lo, hi = lohi
+        span = hi - lo
+        t1 = lo + 0.25 * span
+        t2 = lo + 0.5 * span
+        t3 = lo + 0.75 * span
+        c1 = jnp.sum(d2m <= t1[..., None], axis=-1).astype(dtype)
+        c2 = jnp.sum(d2m <= t2[..., None], axis=-1).astype(dtype)
+        c3 = jnp.sum(d2m <= t3[..., None], axis=-1).astype(dtype)
+        f1, f2, f3 = c1 >= kf, c2 >= kf, c3 >= kf
+        lo2 = jnp.where(f1, lo, jnp.where(f2, t1, jnp.where(f3, t2, t3)))
+        hi2 = jnp.where(f1, t1, jnp.where(f2, t2, jnp.where(f3, t3, hi)))
+        return lo2, hi2
+
+    lo, hi = lax.fori_loop(0, passes, bis, (lo0, hi0))
+    inw = d2m <= hi[..., None]
+    rk2 = jnp.max(jnp.where(inw, d2m, 0.0), axis=-1)
+    nfound = jnp.sum(d2m <= rk2[..., None], axis=-1)
+    return rk2, nfound
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "eos", "kh", "spec", "mesh_factor", "sigma_cells",
+    ),
+)
+def mlevel_sph_forces(
+    pos,
+    vel,
+    m,
+    K,
+    h_hint,
+    mlargs: MLArgs,
+    *,
+    eos: str,
+    gamma,
+    cs0,
+    alpha,
+    beta,
+    kh: int,
+    spec: tuple,
+    mesh_factor: int = 5,
+    sigma_cells: float = 2.2,
+):
+    """Multi-level force evaluation. Same contract as tile_sph_forces:
+    returns (ReducedForces, (gx, gy, gz, phi) near-gravity corrections,
+    ok). ok False => discard, caller falls back to the gather engine.
+
+    In "exact" mode (spec mesh_level == -1) the corrections turn a global
+    pure-Newtonian sweep into the reference's softened gravity; in p3m
+    mode (mesh_level == 0) they complete the FFT mesh force exactly as in
+    tiles.py, with phase C running on the level-0 planes (level 0 is kept
+    opacity-free, so every particle is present).
+    """
+    levels, res_budget, mesh_level, nc = spec
+    L = len(levels)
+    n = pos.shape[0]
+    dtype = pos.dtype
+    kf = jnp.asarray(float(kh), dtype)
+    big = jnp.asarray(jnp.finfo(dtype).max, dtype)
+    half = jnp.max(jnp.abs(pos)) * (1.0 + 1e-6) + jnp.asarray(1e-30, dtype)
+
+    # ---- routed species (host hint; certified on found values) ----
+    species = mlargs.species
+    spec_f = species.astype(dtype)
+    s_l = [2.0 * half / levels[l][0] for l in range(L)]
+
+    # ---- residual selection ----
+    if res_budget > 0:
+        res_mask = species == L
+        n_res = jnp.sum(res_mask)
+        res_ok = n_res <= res_budget
+        res_rows = jnp.nonzero(res_mask, size=res_budget, fill_value=n)[0].astype(
+            jnp.int32
+        )
+    else:
+        res_mask = jnp.zeros((n,), bool)
+        res_ok = jnp.all(species < L)
+
+    # ---- per-level binning (species-priority slots) + coverage certs ----
+    binfo = []
+    cov_ok = jnp.asarray(True)
+    for l, (g, cap, na, nb) in enumerate(levels):
+        s = s_l[l]
+        c = jnp.clip(jnp.floor((pos + half) / s).astype(jnp.int32), 0, g - 1)
+        cell = (c[:, 2] * g + c[:, 1]) * g + c[:, 0]
+        key = cell * 2 + (species != l).astype(jnp.int32)
+        order = jnp.argsort(key)
+        cell_s = cell[order]
+        iota = lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+        newseg = jnp.concatenate(
+            [jnp.ones((1,), bool), cell_s[1:] != cell_s[:-1]]
+        )
+        seg_start = lax.cummax(jnp.where(newseg, iota, 0))
+        rank = jnp.zeros((n,), jnp.int32).at[order].set(iota - seg_start)
+        dropped = rank >= cap
+        occ = jnp.zeros((g * g * g,), jnp.int32).at[cell].add(1)
+        opaque = (occ > cap).reshape(g, g, g)
+        # species-l rows always hold a slot (priority + this cert)
+        cov_ok = cov_ok & ~jnp.any((species == l) & dropped)
+        if mesh_level == 0 and l == 0:
+            cov_ok = cov_ok & ~jnp.any(opaque)  # phase C needs everyone
+
+        # strip coverage: species-l strips in act_a; their one-cell
+        # dilation (nonempty) in act_b
+        sid = c[:, 2] * g + c[:, 0]
+        is_l = (species == l).astype(jnp.int32)
+        need_a = jnp.zeros((g * g,), jnp.int32).at[sid].max(is_l)
+        prov_a = jnp.zeros((g * g,), jnp.int32).at[mlargs.act_a[l]].set(1)
+        src2d = jnp.zeros((g, g), jnp.int32).at[c[:, 2], c[:, 0]].max(is_l)
+        ne2d = jnp.zeros((g, g), jnp.int32).at[c[:, 2], c[:, 0]].set(1)
+        pad2d = jnp.pad(src2d, 1)
+        dil = jnp.zeros((g, g), jnp.int32)
+        for dz in range(3):
+            for dx in range(3):
+                dil = jnp.maximum(dil, pad2d[dz : dz + g, dx : dx + g])
+        need_b = (dil * ne2d).reshape(-1)
+        prov_b = jnp.zeros((g * g,), jnp.int32).at[mlargs.act_b[l]].set(1)
+        cov_ok = cov_ok & ~jnp.any(need_a > prov_a) & ~jnp.any(need_b > prov_b)
+        if mesh_level == 0 and l == 0:
+            prov_c = jnp.zeros((g * g,), jnp.int32).at[mlargs.act_c].set(1)
+            cov_ok = cov_ok & ~jnp.any(ne2d.reshape(-1) > prov_c)
+
+        pz = c[:, 2] + 1
+        py = c[:, 1] + 1
+        px = jnp.where(
+            dropped, (g + 2) * cap, (c[:, 0] + 1) * cap + rank
+        )  # dropped rows fall off the plane (mode="drop")
+        binfo.append(dict(c=c, rank=rank, dropped=dropped, opaque=opaque,
+                          slots=(pz, py, px), s=s))
+
+    def to_plane(l, v, fill=0.0):
+        g, cap, _, _ = levels[l]
+        pz, py, px = binfo[l]["slots"]
+        return jnp.full(((g + 2), (g + 2), (g + 2) * cap), fill, dtype).at[
+            pz, py, px
+        ].set(v.astype(dtype), mode="drop")
+
+    # ---- phase A per level: exact r_kh + rho for species-l rows ----
+    Hrow = jnp.zeros((n,), dtype)
+    RHOrow = jnp.zeros((n,), dtype)
+    rows_ok = cov_ok & res_ok
+    a_planes = []
+    for l, (g, cap, na, nb) in enumerate(levels):
+        X = to_plane(l, pos[:, 0])
+        Y = to_plane(l, pos[:, 1])
+        Z = to_plane(l, pos[:, 2])
+        MASK = to_plane(l, jnp.ones((n,), dtype))
+        SPECP = to_plane(l, spec_f, fill=-1.0)
+        a_planes.append((X, Y, Z, MASK, SPECP))
+        s = s_l[l]
+        opq = jnp.pad(binfo[l]["opaque"].astype(jnp.int32), 1)
+
+        def phase_a(t, g=g, cap=cap, s=s, X=X, Y=Y, Z=Z, MASK=MASK,
+                    SPECP=SPECP, opq=opq, l=l):
+            (qx, cx), (qy, cy), (qz, cz), (qm, cm), (qs, _) = _strip_views(
+                (X, Y, Z, MASK, SPECP), t, g, cap, 3
+            )
+            dx = qx[..., None] - cx[:, :, None, :]
+            dy = qy[..., None] - cy[:, :, None, :]
+            dz = qz[..., None] - cz[:, :, None, :]
+            d2 = dx * dx + dy * dy + dz * dz
+            valid = (cm[:, :, None, :] > 0) & (qm[..., None] > 0)
+            d2m = jnp.where(valid, d2, big)
+            hi0 = jnp.full(qm.shape, 1.001, dtype) * s * s
+            lo0 = jnp.zeros(qm.shape, dtype)
+            rk2, nfound = _bisect_rk(d2m, kf, hi0, lo0, 17, dtype)
+            h_t = jnp.sqrt(rk2) / 2.0
+            h_safe = jnp.where(h_t > 0, h_t, 1.0)
+            w_k = W(jnp.sqrt(d2) / h_safe[..., None], h_safe[..., None])
+            rho_t = m * jnp.sum(
+                jnp.where(valid & (d2m <= rk2[..., None]), w_k, 0.0), axis=-1
+            )
+            # opacity clearance for species-l queries: every opaque
+            # stencil cell stays beyond h + s/2 (bounds both the kNN
+            # radius 2h and the softened-gravity reach h + h_partner)
+            zt = (t // g).astype(jnp.int32)
+            xt = (t % g).astype(jnp.int32)
+            rcert = h_t + 0.5 * s
+            op_ok = jnp.ones(qm.shape, bool)
+            qxx, qyy, qzz = qx, qy, qz
+            for ddz in range(3):
+                for ddy in range(3):
+                    for ddx in range(3):
+                        oflag = lax.dynamic_slice(
+                            opq,
+                            (zt + ddz, jnp.int32(ddy), xt + ddx),
+                            (1, g, 1),
+                        )[:, :, 0]
+                        # neighbor-cell box (centered coords)
+                        loz = (zt + ddz - 1).astype(dtype) * s - half
+                        lox = (xt + ddx - 1).astype(dtype) * s - half
+                        loy = (
+                            jnp.arange(g, dtype=dtype) + (ddy - 1)
+                        )[None, :, None] * s - half
+                        dxx = jnp.maximum(
+                            jnp.maximum(lox - qxx, qxx - (lox + s)), 0.0
+                        )
+                        dyy = jnp.maximum(
+                            jnp.maximum(loy - qyy, qyy - (loy + s)), 0.0
+                        )
+                        dzz = jnp.maximum(
+                            jnp.maximum(loz - qzz, qzz - (loz + s)), 0.0
+                        )
+                        dmin = jnp.sqrt(dxx * dxx + dyy * dyy + dzz * dzz)
+                        op_ok = op_ok & (
+                            (oflag[..., None] <= 0) | (dmin > rcert)
+                        )
+            row_ok = (
+                (qm <= 0)
+                | (qs != l)
+                | ((nfound >= kh) & (jnp.sqrt(rk2) <= s) & op_ok)
+            )
+            return h_t, rho_t, row_ok.astype(dtype)
+
+        h_st, rho_st, ok_st = lax.map(phase_a, mlargs.act_a[l])
+        Hg = _scatter_strips(h_st, mlargs.act_a[l], g, cap, 0.0, dtype)
+        RHOg = _scatter_strips(rho_st, mlargs.act_a[l], g, cap, 0.0, dtype)
+        OKg = _scatter_strips(ok_st, mlargs.act_a[l], g, cap, 1.0, dtype)
+        rows_ok = rows_ok & jnp.all(OKg > 0)
+        c = binfo[l]["c"]
+        rank = binfo[l]["rank"]
+        ix = c[:, 0] * cap + jnp.minimum(rank, cap - 1)
+        sel = (species == l) & ~binfo[l]["dropped"]
+        Hrow = jnp.where(sel, Hg[c[:, 2], c[:, 1], ix], Hrow)
+        RHOrow = jnp.where(sel, RHOg[c[:, 2], c[:, 1], ix], RHOrow)
+
+    return _mlevel_tail(
+        pos, vel, m, K, h_hint, mlargs, levels, res_budget, mesh_level,
+        species, spec_f, res_rows if res_budget > 0 else None,
+        binfo, a_planes, s_l, Hrow, RHOrow, rows_ok, half,
+        eos=eos, gamma=gamma, cs0=cs0, alpha=alpha, beta=beta, kh=kh,
+        mesh_factor=mesh_factor, sigma_cells=sigma_cells,
+    )
+
+
+def _mlevel_tail(
+    pos, vel, m, K, h_hint, mlargs, levels, res_budget, mesh_level,
+    species, spec_f, res_rows, binfo, a_planes, s_l, Hrow, RHOrow, rows_ok,
+    half, *, eos, gamma, cs0, alpha, beta, kh, mesh_factor, sigma_cells,
+):
+    """Phases B/C + residual lane + merge (continuation of
+    mlevel_sph_forces; split only to keep functions reviewable)."""
+    L = len(levels)
+    n = pos.shape[0]
+    dtype = pos.dtype
+    big = jnp.asarray(jnp.finfo(dtype).max, dtype)
+
+    # ---- residual lane, part 1: exact r_k + rho (streaming bisection) ----
+    if res_budget > 0:
+        rsafe = jnp.minimum(res_rows, n - 1)
+        rvalid = res_rows < n
+        rk2_res, nfound_res, h_res, rho_res = _res_knn(
+            pos, rsafe, rvalid, h_hint[rsafe], m, kh
+        )
+        rows_ok = rows_ok & jnp.all(~rvalid | (nfound_res >= kh))
+        drop_to = jnp.where(rvalid, res_rows, n)
+        Hrow = Hrow.at[drop_to].set(h_res, mode="drop")
+        RHOrow = RHOrow.at[drop_to].set(rho_res, mode="drop")
+
+    # ---- derived per-row fields (merged across levels + residual) ----
+    rho_safe = jnp.where(RHOrow > 0, RHOrow, 1.0)
+    if eos == "polytropic":
+        por2_row = K.astype(dtype) * rho_safe ** (gamma - 2.0)
+        cs_row = jnp.sqrt(gamma * K.astype(dtype) * rho_safe ** (gamma - 1.0))
+    else:
+        por2_row = cs0**2 / rho_safe
+        cs_row = jnp.full((n,), cs0, dtype)
+
+    # ---- phase B per level ----
+    acc_x = jnp.zeros((n,), dtype)
+    acc_y = jnp.zeros((n,), dtype)
+    acc_z = jnp.zeros((n,), dtype)
+    visc_row = jnp.zeros((n,), dtype)
+    div_row = jnp.zeros((n,), dtype)
+    mu_row = jnp.zeros((n,), dtype)
+    ggx = jnp.zeros((n,), dtype)
+    ggy = jnp.zeros((n,), dtype)
+    ggz = jnp.zeros((n,), dtype)
+    gphi = jnp.zeros((n,), dtype)
+
+    for l, (g, cap, na, nb) in enumerate(levels):
+        X, Y, Z, MASK, SPECP = a_planes[l]
+        pz, py, px = binfo[l]["slots"]
+
+        def to_plane(v, fill=0.0):
+            return jnp.full(((g + 2), (g + 2), (g + 2) * cap), fill, dtype).at[
+                pz, py, px
+            ].set(v.astype(dtype), mode="drop")
+
+        VX = to_plane(vel[:, 0])
+        VY = to_plane(vel[:, 1])
+        VZ = to_plane(vel[:, 2])
+        Hp = to_plane(Hrow)
+        RK2p = to_plane((2.0 * Hrow) ** 2)
+        RHOp = to_plane(RHOrow)
+        POR2p = to_plane(por2_row)
+        CSp = to_plane(cs_row)
+
+        def phase_b(t, g=g, cap=cap, l=l, planes=(
+            X, Y, Z, VX, VY, VZ, MASK, SPECP, Hp, RK2p, RHOp, POR2p, CSp
+        )):
+            views = _strip_views(planes, t, g, cap, 3)
+            (qx, cx), (qy, cy), (qz, cz) = views[0:3]
+            (qvx, cvx), (qvy, cvy), (qvz, cvz) = views[3:6]
+            (qm, cm), (qs, cspec) = views[6:8]
+            (qh, ch), (qrk2, crk2), (qrho, crho) = views[8:11]
+            (qpor2, cpor2), (qcs, ccs) = views[11:13]
+
+            dx = qx[..., None] - cx[:, :, None, :]
+            dy = qy[..., None] - cy[:, :, None, :]
+            dz = qz[..., None] - cz[:, :, None, :]
+            d2 = dx * dx + dy * dy + dz * dz
+            r = jnp.sqrt(d2)
+            valid = (cm[:, :, None, :] > 0) & (qm[..., None] > 0)
+            lf = jnp.asarray(float(l), dtype)
+            q_is_l = qs[..., None] == lf
+            c_is_l = cspec[:, :, None, :] == lf
+            fwd = valid & q_is_l & (d2 <= qrk2[..., None])
+            rev = valid & c_is_l & (d2 <= crk2[:, :, None, :])
+
+            h_q = jnp.where(qh > 0, qh, 1.0)[..., None]
+            h_c = jnp.where(ch > 0, ch, 1.0)[:, :, None, :]
+            h_avg = 0.5 * (h_q + h_c)
+            rho_avg = 0.5 * (qrho[..., None] + crho[:, :, None, :])
+            rho_avg = jnp.where(valid, rho_avg, 1.0)
+
+            vx = qvx[..., None] - cvx[:, :, None, :]
+            vy = qvy[..., None] - cvy[:, :, None, :]
+            vz = qvz[..., None] - cvz[:, :, None, :]
+            v_dot_r = vx * dx + vy * dy + vz * dz
+            mu = jnp.minimum(h_avg * v_dot_r / (d2 + 0.01 * h_avg**2), 0.0)
+            pi_fwd = (-alpha * qcs[..., None] * mu + beta * mu * mu) / rho_avg
+            pi_rev = (
+                -alpha * ccs[:, :, None, :] * mu + beta * mu * mu
+            ) / rho_avg
+
+            dwdr_q = grad_W_over_r(r / h_q, r, h_q)
+            dwdr_c = grad_W_over_r(r / h_c, r, h_c)
+
+            if eos == "polytropic":
+                psum = qpor2[..., None] + cpor2[:, :, None, :]
+                ct_fwd = m * (psum + pi_fwd) / 2.0
+                ct_rev = m * (psum + pi_rev) / 2.0
+            else:
+                ct_fwd = m * (qpor2[..., None] + pi_fwd / 2.0)
+                ct_rev = m * (cpor2[:, :, None, :] + pi_rev / 2.0)
+
+            coeff = -jnp.where(fwd, ct_fwd * dwdr_q, 0.0) - jnp.where(
+                rev, ct_rev * dwdr_c, 0.0
+            )
+            ax = jnp.sum(coeff * dx, axis=-1)
+            ay = jnp.sum(coeff * dy, axis=-1)
+            az = jnp.sum(coeff * dz, axis=-1)
+
+            v_dot_dw_q = v_dot_r * dwdr_q
+            v_dot_dw_c = v_dot_r * dwdr_c
+            div_t = m * jnp.sum(jnp.where(fwd, v_dot_dw_q, 0.0), axis=-1)
+            mu_max_t = jnp.max(jnp.where(fwd, mu, -big), axis=-1)
+            visc_t = jnp.sum(
+                jnp.where(fwd, m * pi_fwd * v_dot_dw_q / 2.0, 0.0)
+                + jnp.where(rev, m * pi_rev * v_dot_dw_c / 2.0, 0.0),
+                axis=-1,
+            )
+
+            # near-field gravity correction: pairs whose coarser member is
+            # species l (residual pairs excluded: their species is L)
+            maxspec = jnp.maximum(qs[..., None], cspec[:, :, None, :])
+            r_safe = jnp.where(d2 > 0, r, 1.0)
+            newt_g = jnp.where(d2 > 0, 1.0 / r_safe**3, 0.0)
+            newt_p = jnp.where(d2 > 0, -1.0 / r_safe, 0.0)
+            gmask = valid & (maxspec == lf) & (r <= 2.0 * h_avg)
+            cgp = jnp.where(gmask, softened_gphi_over_r(r, h_avg) - newt_g, 0.0)
+            cpp = jnp.where(gmask, softened_phi(r, h_avg) - newt_p, 0.0)
+            gx_t = m * jnp.sum(cgp * dx, axis=-1)
+            gy_t = m * jnp.sum(cgp * dy, axis=-1)
+            gz_t = m * jnp.sum(cgp * dz, axis=-1)
+            gp_t = m * jnp.sum(cpp, axis=-1)
+            return (ax, ay, az, div_t, mu_max_t, visc_t, gx_t, gy_t, gz_t, gp_t)
+
+        outs = lax.map(phase_b, mlargs.act_b[l])
+        grids = [
+            _scatter_strips(o, mlargs.act_b[l], g, cap, 0.0, dtype)
+            for o in outs
+        ]
+        c = binfo[l]["c"]
+        rank = binfo[l]["rank"]
+        ix = c[:, 0] * cap + jnp.minimum(rank, cap - 1)
+        guard = ~binfo[l]["dropped"]
+        sel = (species == l) & guard
+
+        def ext(gr):
+            return jnp.where(guard, gr[c[:, 2], c[:, 1], ix], 0.0)
+
+        acc_x = acc_x + ext(grids[0])
+        acc_y = acc_y + ext(grids[1])
+        acc_z = acc_z + ext(grids[2])
+        div_row = jnp.where(sel, grids[3][c[:, 2], c[:, 1], ix], div_row)
+        mu_row = jnp.where(sel, grids[4][c[:, 2], c[:, 1], ix], mu_row)
+        visc_row = visc_row + ext(grids[5])
+        ggx = ggx + ext(grids[6])
+        ggy = ggy + ext(grids[7])
+        ggz = ggz + ext(grids[8])
+        gphi = gphi + ext(grids[9])
+
+    # ---- phase C: P3M 5^3 (Newtonian - mesh shape) tail on level 0 ----
+    if mesh_level == 0:
+        g0, cap0 = levels[0][0], levels[0][1]
+        s0 = s_l[0]
+        sigma = (s0 / mesh_factor) * sigma_cells
+        c0 = binfo[0]["c"]
+        rank0 = binfo[0]["rank"]
+        pz2 = c0[:, 2] + 2
+        py2 = c0[:, 1] + 2
+        px2 = (c0[:, 0] + 2) * cap0 + jnp.minimum(rank0, cap0 - 1)
+        shape2 = ((g0 + 4), (g0 + 4), (g0 + 4) * cap0)
+
+        def to_plane2(v, fill=0.0):
+            return jnp.full(shape2, fill, dtype).at[pz2, py2, px2].set(
+                v.astype(dtype), mode="drop"
+            )
+
+        X2 = to_plane2(pos[:, 0])
+        Y2 = to_plane2(pos[:, 1])
+        Z2 = to_plane2(pos[:, 2])
+        M2 = to_plane2(jnp.ones((n,), dtype))
+
+        def phase_c(t):
+            (qx, cx), (qy, cy), (qz, cz), (qm, cm) = _strip_views(
+                (X2, Y2, Z2, M2), t, g0, cap0, 5
+            )
+            dx = qx[..., None] - cx[:, :, None, :]
+            dy = qy[..., None] - cy[:, :, None, :]
+            dz = qz[..., None] - cz[:, :, None, :]
+            d2 = dx * dx + dy * dy + dz * dz
+            valid = (cm[:, :, None, :] > 0) & (qm[..., None] > 0)
+            inv_r = lax.rsqrt(jnp.where(d2 > 0, d2, 1.0))
+            cgp, cpp = newton_minus_mesh(d2, inv_r, sigma)
+            cgp = jnp.where(valid, cgp, 0.0)
+            cpp = jnp.where(valid, cpp, 0.0)
+            return (
+                m * jnp.sum(cgp * dx, axis=-1),
+                m * jnp.sum(cgp * dy, axis=-1),
+                m * jnp.sum(cgp * dz, axis=-1),
+                m * jnp.sum(cpp, axis=-1),
+            )
+
+        outs_c = lax.map(phase_c, mlargs.act_c)
+        ix0 = c0[:, 0] * cap0 + jnp.minimum(rank0, cap0 - 1)
+        for o, tgt in zip(outs_c, ("x", "y", "z", "p")):
+            gr = _scatter_strips(o, mlargs.act_c, g0, cap0, 0.0, dtype)
+            v = gr[c0[:, 2], c0[:, 1], ix0]
+            if tgt == "x":
+                ggx = ggx + v
+            elif tgt == "y":
+                ggy = ggy + v
+            elif tgt == "z":
+                ggz = ggz + v
+            else:
+                gphi = gphi + v
+
+    # ---- residual lane, part 2: forces + scatter-back ----
+    if res_budget > 0:
+        rowB, recvC = _res_forces(
+            pos, vel, m, rsafe, rvalid, rk2_res, h_res,
+            Hrow, RHOrow, por2_row, cs_row, species, L,
+            eos=eos, alpha=alpha, beta=beta,
+        )
+        # residual rows: their hydro plane-sum partials (reverse-receive
+        # from level sources) are re-computed completely by sweep B2 ->
+        # REPLACE; their per-level gravity sums are structurally zero
+        # (maxspec == L never matches a level) while phase C's geometric
+        # (Newtonian - mesh) term does include them -> ADD the lane's
+        # (softened - Newtonian) term on top
+        acc_x = acc_x.at[drop_to].set(rowB["ax"], mode="drop")
+        acc_y = acc_y.at[drop_to].set(rowB["ay"], mode="drop")
+        acc_z = acc_z.at[drop_to].set(rowB["az"], mode="drop")
+        div_row = div_row.at[drop_to].set(rowB["div"], mode="drop")
+        mu_row = mu_row.at[drop_to].set(rowB["mu"], mode="drop")
+        visc_row = visc_row.at[drop_to].set(rowB["visc"], mode="drop")
+        ggx = ggx.at[drop_to].add(rowB["gx"], mode="drop")
+        ggy = ggy.at[drop_to].add(rowB["gy"], mode="drop")
+        ggz = ggz.at[drop_to].add(rowB["gz"], mode="drop")
+        gphi = gphi.at[drop_to].add(rowB["gp"], mode="drop")
+        # non-residual receivers: contributions from residual sources
+        acc_x = acc_x + recvC["ax"]
+        acc_y = acc_y + recvC["ay"]
+        acc_z = acc_z + recvC["az"]
+        visc_row = visc_row + recvC["visc"]
+        ggx = ggx + recvC["gx"]
+        ggy = ggy + recvC["gy"]
+        ggz = ggz + recvC["gz"]
+        gphi = gphi + recvC["gp"]
+
+    out = ReducedForces(
+        acc=jnp.stack([acc_x, acc_y, acc_z], axis=1),
+        rho=RHOrow,
+        h=Hrow,
+        cs=cs_row,
+        mu_max=mu_row,
+        div_sum=div_row,
+        visc_dk=visc_row,
+    )
+    return out, (ggx, ggy, ggz, gphi), rows_ok
+
+
+# ---------------------------------------------------------------------------
+# Streaming residual lane (no top_k, no gathers: bisection + masked sweeps)
+# ---------------------------------------------------------------------------
+
+
+def _res_knn(pos, rsafe, rvalid, h_hint_r, m, kh, *, block=2048, row_block=256):
+    """Exact r_Kh / h / rho for residual rows by streaming count bisection
+    over all N candidates (replaces the old outlier lane's top_k kNN).
+    Returns (rk2, nfound, h, rho) over the padded budget rows."""
+    n = pos.shape[0]
+    B = rsafe.shape[0]
+    dtype = pos.dtype
+    kf = jnp.asarray(float(kh), dtype)
+    big = jnp.asarray(jnp.finfo(dtype).max, dtype)
+    nb = _ceil_to(n, block)
+    xs = jnp.pad(pos[:, 0], (0, nb - n))
+    ys = jnp.pad(pos[:, 1], (0, nb - n))
+    zs = jnp.pad(pos[:, 2], (0, nb - n))
+    ncb = nb // block
+
+    q = pos[rsafe]
+    hi0 = jnp.maximum((3.4 * h_hint_r.astype(dtype)) ** 2, 1e-30)
+    Bp = _ceil_to(B, row_block)
+    qp = jnp.pad(q, ((0, Bp - B), (0, 0)))
+    hip = jnp.pad(hi0, (0, Bp - B), constant_values=1.0)
+
+    def row_chunk(args):
+        qb, hib = args
+        rb = qb.shape[0]
+
+        def d2_block(ci):
+            bx = lax.dynamic_slice(xs, (ci * block,), (block,))
+            by = lax.dynamic_slice(ys, (ci * block,), (block,))
+            bz = lax.dynamic_slice(zs, (ci * block,), (block,))
+            dx = qb[:, 0:1] - bx[None, :]
+            dy = qb[:, 1:2] - by[None, :]
+            dz = qb[:, 2:3] - bz[None, :]
+            d2 = dx * dx + dy * dy + dz * dz
+            cid = ci * block + lax.broadcasted_iota(jnp.int32, (1, block), 1)
+            return jnp.where(cid < n, d2, big)
+
+        def one_pass(_, lohi):
+            lo, hi = lohi
+            span = hi - lo
+            t1 = lo + 0.25 * span
+            t2 = lo + 0.5 * span
+            t3 = lo + 0.75 * span
+
+            def col(ci, acc):
+                c1, c2, c3 = acc
+                d2 = d2_block(ci)
+                return (
+                    c1 + jnp.sum(d2 <= t1[:, None], axis=1).astype(dtype),
+                    c2 + jnp.sum(d2 <= t2[:, None], axis=1).astype(dtype),
+                    c3 + jnp.sum(d2 <= t3[:, None], axis=1).astype(dtype),
+                )
+
+            zero = jnp.zeros((rb,), dtype)
+            c1, c2, c3 = lax.fori_loop(0, ncb, col, (zero, zero, zero))
+            f1, f2, f3 = c1 >= kf, c2 >= kf, c3 >= kf
+            lo2 = jnp.where(f1, lo, jnp.where(f2, t1, jnp.where(f3, t2, t3)))
+            hi2 = jnp.where(f1, t1, jnp.where(f2, t2, jnp.where(f3, t3, hi)))
+            return lo2, hi2
+
+        lo, hi = lax.fori_loop(
+            0, 14, one_pass, (jnp.zeros((rb,), dtype), hib)
+        )
+
+        def col_rk(ci, rk2):
+            d2 = d2_block(ci)
+            return jnp.maximum(
+                rk2, jnp.max(jnp.where(d2 <= hi[:, None], d2, 0.0), axis=1)
+            )
+
+        rk2 = lax.fori_loop(0, ncb, col_rk, jnp.zeros((rb,), dtype))
+        h = jnp.sqrt(rk2) / 2.0
+        h_safe = jnp.where(h > 0, h, 1.0)
+
+        def col_rho(ci, acc):
+            nf, rho = acc
+            d2 = d2_block(ci)
+            inn = d2 <= rk2[:, None]
+            w = W(jnp.sqrt(d2) / h_safe[:, None], h_safe[:, None])
+            return (
+                nf + jnp.sum(inn, axis=1).astype(dtype),
+                rho + m * jnp.sum(jnp.where(inn, w, 0.0), axis=1),
+            )
+
+        nf, rho = lax.fori_loop(
+            0, ncb, col_rho,
+            (jnp.zeros((rb,), dtype), jnp.zeros((rb,), dtype)),
+        )
+        return rk2, nf, h, rho
+
+    rk2, nf, h, rho = lax.map(
+        row_chunk,
+        (
+            qp.reshape(Bp // row_block, row_block, 3),
+            hip.reshape(Bp // row_block, row_block),
+        ),
+    )
+    return (
+        rk2.reshape(Bp)[:B],
+        nf.reshape(Bp)[:B],
+        h.reshape(Bp)[:B],
+        rho.reshape(Bp)[:B],
+    )
+
+
+def _res_forces(
+    pos, vel, m, rsafe, rvalid, rk2_res, h_res,
+    h_all, rho_all, por2_all, cs_all, species, L,
+    *, eos, alpha, beta, block=2048, row_block=256, recv_block=1024,
+):
+    """Residual forces. Returns (rowB, recvC):
+
+    rowB: the COMPLETE per-row outputs for residual rows — forward over
+    their own exact kNN list, reverse receive from every other list, and
+    the full (softened - Newtonian) near-gravity correction against all N
+    (reference scatter semantics, hydroCalculation
+    polytrope_hydroKDTree.jl:229-248).
+    recvC: (N,) buffers of contributions from residual SOURCES to
+    non-residual receivers (the transpose sweep)."""
+    n = pos.shape[0]
+    B = rsafe.shape[0]
+    dtype = pos.dtype
+    big = jnp.asarray(jnp.finfo(dtype).max, dtype)
+    nb = _ceil_to(n, block)
+
+    def padf(v, fill=0.0):
+        return jnp.pad(v, (0, nb - n), constant_values=fill)
+
+    xs, ys, zs = padf(pos[:, 0]), padf(pos[:, 1]), padf(pos[:, 2])
+    vxs, vys, vzs = padf(vel[:, 0]), padf(vel[:, 1]), padf(vel[:, 2])
+    hs = padf(h_all, 1.0)
+    rhos = padf(rho_all, 1.0)
+    por2s = padf(por2_all)
+    css = padf(cs_all)
+    ncb = nb // block
+
+    # ---- part B2: complete rows for residual queries ----
+    q = pos[rsafe]
+    qv = vel[rsafe]
+    h_q = jnp.where(h_res > 0, h_res, 1.0)
+    rho_q = jnp.where(rho_all[rsafe] > 0, rho_all[rsafe], 1.0)
+    por2_q = por2_all[rsafe]
+    cs_q = cs_all[rsafe]
+    Bp = _ceil_to(B, row_block)
+
+    def rpad(v, fill=0.0):
+        return jnp.pad(v, ((0, Bp - B),) + ((0, 0),) * (v.ndim - 1),
+                       constant_values=fill)
+
+    def row_chunk(args):
+        qb, qvb, hqb, rhoqb, por2qb, csqb, rk2b = args
+        rb = qb.shape[0]
+        zero = jnp.zeros((rb,), dtype)
+
+        def col(ci, acc):
+            (ax, ay, az, div, mumax, visc, gx, gy, gz, gp) = acc
+            bx = lax.dynamic_slice(xs, (ci * block,), (block,))
+            by = lax.dynamic_slice(ys, (ci * block,), (block,))
+            bz = lax.dynamic_slice(zs, (ci * block,), (block,))
+            bvx = lax.dynamic_slice(vxs, (ci * block,), (block,))
+            bvy = lax.dynamic_slice(vys, (ci * block,), (block,))
+            bvz = lax.dynamic_slice(vzs, (ci * block,), (block,))
+            bh = lax.dynamic_slice(hs, (ci * block,), (block,))
+            brho = lax.dynamic_slice(rhos, (ci * block,), (block,))
+            bpor2 = lax.dynamic_slice(por2s, (ci * block,), (block,))
+            bcs = lax.dynamic_slice(css, (ci * block,), (block,))
+            cid = ci * block + lax.broadcasted_iota(jnp.int32, (1, block), 1)
+            cval = cid < n
+
+            dx = qb[:, 0:1] - bx[None, :]
+            dy = qb[:, 1:2] - by[None, :]
+            dz = qb[:, 2:3] - bz[None, :]
+            d2 = dx * dx + dy * dy + dz * dz
+            r = jnp.sqrt(d2)
+            fwd = cval & (d2 <= rk2b[:, None])
+            rev = cval & (d2 <= (2.0 * bh[None, :]) ** 2)
+
+            h_avg = 0.5 * (hqb[:, None] + bh[None, :])
+            rho_avg = 0.5 * (rhoqb[:, None] + brho[None, :])
+            vx = qvb[:, 0:1] - bvx[None, :]
+            vy = qvb[:, 1:2] - bvy[None, :]
+            vz = qvb[:, 2:3] - bvz[None, :]
+            v_dot_r = vx * dx + vy * dy + vz * dz
+            mu = jnp.minimum(h_avg * v_dot_r / (d2 + 0.01 * h_avg**2), 0.0)
+            pi_fwd = (-alpha * csqb[:, None] * mu + beta * mu * mu) / rho_avg
+            pi_rev = (-alpha * bcs[None, :] * mu + beta * mu * mu) / rho_avg
+            dwdr_q = grad_W_over_r(r / hqb[:, None], r, hqb[:, None])
+            dwdr_c = grad_W_over_r(r / bh[None, :], r, bh[None, :])
+            if eos == "polytropic":
+                psum = por2qb[:, None] + bpor2[None, :]
+                ct_fwd = m * (psum + pi_fwd) / 2.0
+                ct_rev = m * (psum + pi_rev) / 2.0
+            else:
+                ct_fwd = m * (por2qb[:, None] + pi_fwd / 2.0)
+                ct_rev = m * (bpor2[None, :] + pi_rev / 2.0)
+            coeff = -jnp.where(fwd, ct_fwd * dwdr_q, 0.0) - jnp.where(
+                rev, ct_rev * dwdr_c, 0.0
+            )
+            v_dot_dw_q = v_dot_r * dwdr_q
+            v_dot_dw_c = v_dot_r * dwdr_c
+
+            r_safe = jnp.where(d2 > 0, r, 1.0)
+            newt_g = jnp.where(d2 > 0, 1.0 / r_safe**3, 0.0)
+            newt_p = jnp.where(d2 > 0, -1.0 / r_safe, 0.0)
+            gmask = cval & (r <= 2.0 * h_avg)
+            cgp = jnp.where(
+                gmask, softened_gphi_over_r(r, h_avg) - newt_g, 0.0
+            )
+            cpp = jnp.where(gmask, softened_phi(r, h_avg) - newt_p, 0.0)
+            return (
+                ax + jnp.sum(coeff * dx, axis=1),
+                ay + jnp.sum(coeff * dy, axis=1),
+                az + jnp.sum(coeff * dz, axis=1),
+                div + m * jnp.sum(jnp.where(fwd, v_dot_dw_q, 0.0), axis=1),
+                jnp.maximum(
+                    mumax, jnp.max(jnp.where(fwd, mu, -big), axis=1)
+                ),
+                visc + jnp.sum(
+                    jnp.where(fwd, m * pi_fwd * v_dot_dw_q / 2.0, 0.0)
+                    + jnp.where(rev, m * pi_rev * v_dot_dw_c / 2.0, 0.0),
+                    axis=1,
+                ),
+                gx + m * jnp.sum(cgp * dx, axis=1),
+                gy + m * jnp.sum(cgp * dy, axis=1),
+                gz + m * jnp.sum(cgp * dz, axis=1),
+                gp + m * jnp.sum(cpp, axis=1),
+            )
+
+        init = (zero, zero, zero, zero, jnp.full((rb,), -big, dtype),
+                zero, zero, zero, zero, zero)
+        return lax.fori_loop(0, ncb, col, init)
+
+    outs = lax.map(
+        row_chunk,
+        (
+            rpad(q).reshape(Bp // row_block, row_block, 3),
+            rpad(qv).reshape(Bp // row_block, row_block, 3),
+            rpad(h_q, 1.0).reshape(Bp // row_block, row_block),
+            rpad(rho_q, 1.0).reshape(Bp // row_block, row_block),
+            rpad(por2_q).reshape(Bp // row_block, row_block),
+            rpad(cs_q).reshape(Bp // row_block, row_block),
+            rpad(rk2_res).reshape(Bp // row_block, row_block),
+        ),
+    )
+    names = ("ax", "ay", "az", "div", "mu", "visc", "gx", "gy", "gz", "gp")
+    rowB = {k: v.reshape(Bp)[:B] for k, v in zip(names, outs)}
+
+    # ---- part C: residual sources -> non-residual receivers ----
+    Bb = _ceil_to(B, min(B if B else 1, 2048))
+    src_block = min(Bb, 2048)
+    nsb = Bb // src_block
+
+    def spad(v, fill=0.0):
+        return jnp.pad(v, (0, Bb - B), constant_values=fill)
+
+    sx, sy, sz = spad(q[:, 0]), spad(q[:, 1]), spad(q[:, 2])
+    svx, svy, svz = spad(qv[:, 0]), spad(qv[:, 1]), spad(qv[:, 2])
+    sh = spad(h_q, 1.0)
+    srho = spad(rho_q, 1.0)
+    spor2 = spad(por2_q)
+    scs = spad(cs_q)
+    srk2 = spad(rk2_res)
+    sval = spad(rvalid.astype(dtype))
+
+    nrp = _ceil_to(n, recv_block)
+    nonres = (species < L).astype(dtype)
+
+    def rvpad(v, fill=0.0):
+        return jnp.pad(v, ((0, nrp - n),) + ((0, 0),) * (v.ndim - 1),
+                       constant_values=fill)
+
+    def recv_chunk(args):
+        pb, vb, hb, rhob, por2b, csb, nrb = args
+        rb = pb.shape[0]
+        zero = jnp.zeros((rb,), dtype)
+
+        def col(ci, acc):
+            ax, ay, az, visc, gx, gy, gz, gp = acc
+            slc = lambda v: lax.dynamic_slice(v, (ci * src_block,), (src_block,))
+            bx, by, bz = slc(sx), slc(sy), slc(sz)
+            bvx, bvy, bvz = slc(svx), slc(svy), slc(svz)
+            bh, brho, bpor2, bcs = slc(sh), slc(srho), slc(spor2), slc(scs)
+            brk2, bval = slc(srk2), slc(sval)
+
+            dx = pb[:, 0:1] - bx[None, :]
+            dy = pb[:, 1:2] - by[None, :]
+            dz = pb[:, 2:3] - bz[None, :]
+            d2 = dx * dx + dy * dy + dz * dz
+            r = jnp.sqrt(d2)
+            ok = (bval[None, :] > 0) & (nrb[:, None] > 0)
+            rev = ok & (d2 <= brk2[None, :])
+
+            h_avg = 0.5 * (hb[:, None] + bh[None, :])
+            rho_avg = 0.5 * (rhob[:, None] + brho[None, :])
+            vx = vb[:, 0:1] - bvx[None, :]
+            vy = vb[:, 1:2] - bvy[None, :]
+            vz = vb[:, 2:3] - bvz[None, :]
+            v_dot_r = vx * dx + vy * dy + vz * dz
+            mu = jnp.minimum(h_avg * v_dot_r / (d2 + 0.01 * h_avg**2), 0.0)
+            pi_rev = (-alpha * bcs[None, :] * mu + beta * mu * mu) / rho_avg
+            dwdr_c = grad_W_over_r(r / bh[None, :], r, bh[None, :])
+            if eos == "polytropic":
+                ct_rev = m * (
+                    por2b[:, None] + bpor2[None, :] + pi_rev
+                ) / 2.0
+            else:
+                ct_rev = m * (bpor2[None, :] + pi_rev / 2.0)
+            coeff = -jnp.where(rev, ct_rev * dwdr_c, 0.0)
+
+            r_safe = jnp.where(d2 > 0, r, 1.0)
+            newt_g = jnp.where(d2 > 0, 1.0 / r_safe**3, 0.0)
+            newt_p = jnp.where(d2 > 0, -1.0 / r_safe, 0.0)
+            gmask = ok & (r <= 2.0 * h_avg)
+            cgp = jnp.where(
+                gmask, softened_gphi_over_r(r, h_avg) - newt_g, 0.0
+            )
+            cpp = jnp.where(gmask, softened_phi(r, h_avg) - newt_p, 0.0)
+            return (
+                ax + jnp.sum(coeff * dx, axis=1),
+                ay + jnp.sum(coeff * dy, axis=1),
+                az + jnp.sum(coeff * dz, axis=1),
+                visc + jnp.sum(
+                    jnp.where(rev, m * pi_rev * v_dot_r * dwdr_c / 2.0, 0.0),
+                    axis=1,
+                ),
+                gx + m * jnp.sum(cgp * dx, axis=1),
+                gy + m * jnp.sum(cgp * dy, axis=1),
+                gz + m * jnp.sum(cgp * dz, axis=1),
+                gp + m * jnp.sum(cpp, axis=1),
+            )
+
+        init = (zero,) * 8
+        return lax.fori_loop(0, nsb, col, init)
+
+    outs_c = lax.map(
+        recv_chunk,
+        (
+            rvpad(pos).reshape(nrp // recv_block, recv_block, 3),
+            rvpad(vel).reshape(nrp // recv_block, recv_block, 3),
+            rvpad(h_all, 1.0).reshape(nrp // recv_block, recv_block),
+            rvpad(rho_all, 1.0).reshape(nrp // recv_block, recv_block),
+            rvpad(por2_all).reshape(nrp // recv_block, recv_block),
+            rvpad(cs_all).reshape(nrp // recv_block, recv_block),
+            rvpad(nonres).reshape(nrp // recv_block, recv_block),
+        ),
+    )
+    cnames = ("ax", "ay", "az", "visc", "gx", "gy", "gz", "gp")
+    recvC = {k: v.reshape(nrp)[:n] for k, v in zip(cnames, outs_c)}
+    return rowB, recvC

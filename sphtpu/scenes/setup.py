@@ -21,6 +21,10 @@ DEFAULTS = {
     "N": 10000,
     "R": 2.0 * C.R0_PC,
     "Kh": 50,
+    # Kgr is the reference's octree leaf/bucket size (iniconds.jl:539); our
+    # gravity has no octree (blocked sweep / P3M), so nothing consumes it.
+    # It stays in DEFAULTS and the constants row purely for snapshot
+    # format compatibility (a reference run restarted here round-trips).
     "Kgr": 20,
     "t": 0,
     "tEnd": 5e12,

@@ -1,1 +1,1 @@
-from .render import render_snapshot_figures, render_from_files  # noqa: F401
+from .render import render_snapshot_figures, render_from_files, watch  # noqa: F401

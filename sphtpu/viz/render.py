@@ -52,8 +52,14 @@ def render_snapshot_figures(
         cval = np.zeros(len(pos_cgs))
     else:
         # density coloring, min((rho-3)/3, 1) on the :autumn map
-        # (polytrope_sim.jl:265, isothermal_sim.jl:241)
-        cval = np.minimum((rho_cgs - 3.0) / 3.0, 1.0)
+        # (polytrope_sim.jl:265, isothermal_sim.jl:241). Documented
+        # deviation: the reference applies the formula to raw CGS rho,
+        # where astrophysical magnitudes (~1e-18 g/cm^3) pin every
+        # particle to the same color; we apply it to rho normalized by
+        # the mean so the intended 3x-6x-overdensity ramp actually
+        # renders (tests/test_viz.py pins non-constant coloring).
+        rho_rel = rho_cgs / max(float(np.mean(rho_cgs)), 1e-300)
+        cval = np.minimum((rho_rel - 3.0) / 3.0, 1.0)
     ax1.scatter(
         pos_cgs[:, 0] / R,
         pos_cgs[:, 1] / R,
@@ -127,3 +133,55 @@ def render_from_files(root: str, ic_type: str, snap_id: str, eos: str) -> tuple:
         stats_cgs=hist,
         eos=eos,
     )
+
+
+def watch(
+    root: str,
+    ic_type: str,
+    eos: str,
+    *,
+    interval_s: float = 5.0,
+    max_iterations: int | None = None,
+    _sleep=None,
+) -> int:
+    """Live-dashboard stand-in for the reference's GLMakie screens
+    (polytrope_sim.jl:135-148): poll the snapshot directory and re-render
+    the newest snapshot's figures whenever a new one appears, so a viewer
+    watching <root>/snapshots/<ic>/graphs/latest_*.png follows the run.
+
+    Runs until interrupted (or max_iterations polls, for tests). Returns
+    the number of renders performed."""
+    import shutil
+    import time as _time
+
+    sleep = _sleep or _time.sleep
+    bin_dir = os.path.join(root, "snapshots", ic_type, "bin")
+    gdir = _graphs_dir(root, ic_type)
+    last = None
+    renders = 0
+    polls = 0
+    while max_iterations is None or polls < max_iterations:
+        polls += 1
+        try:
+            snaps = [
+                int(f[: -len("snap.csv")])
+                for f in os.listdir(bin_dir)
+                if f.endswith("snap.csv")
+            ]
+        except FileNotFoundError:
+            snaps = []
+        newest = max(snaps) if snaps else None
+        if newest is not None and newest != last:
+            try:
+                star, stats = render_from_files(
+                    root, ic_type, str(newest), eos
+                )
+                shutil.copyfile(star, os.path.join(gdir, "latest_star.png"))
+                shutil.copyfile(stats, os.path.join(gdir, "latest_stats.png"))
+                last = newest
+                renders += 1
+            except Exception:
+                pass  # snapshot mid-write: retry next poll
+        if max_iterations is None or polls < max_iterations:
+            sleep(interval_s)
+    return renders

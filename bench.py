@@ -105,8 +105,8 @@ def bench_hard_regime():
     if not os.path.exists(HARD_STATE):
         return {}
     from sphtpu.engine import EngineConfig, Params, State, make_chunk_runner
-    from sphtpu.engine.driver import P3M_MIN_N
-    from sphtpu.physics.mlevel import plan_mlevel
+    from sphtpu.engine.driver import ML_SUBCHUNK, P3M_MIN_N
+    from sphtpu.physics.mlevel import mlevel_args_still_ok, plan_mlevel
     from sphtpu.physics.tiles import choose_tile_params_ml
 
     d = np.load(HARD_STATE)
@@ -150,23 +150,46 @@ def bench_hard_regime():
     )
     h0 = jnp.asarray(d["h"], jd)
     chunk = make_chunk_runner(cfg)
-    state_w, stats, valid, h_w, _, nfb = chunk(
-        state, params, h0, n_steps=BENCH_STEPS, mlargs=mlargs
-    )
-    fetch((stats, valid, nfb))
+
+    # production dispatch pattern: ML_SUBCHUNK-step sub-chunks with the
+    # traced strip lists refreshed between them (host pass, no recompile,
+    # the driver's ML_SUBCHUNK cadence); timed region includes the
+    # refresh — it is a real production cost
+    sub = ML_SUBCHUNK if cfg.mlevel is not None else BENCH_STEPS
+
+    def run_sub(st, h):
+        nonlocal mlargs
+        st, stats, valid, h, _, nfb = chunk(
+            st, params, h, n_steps=sub, mlargs=mlargs
+        )
+        fetch((stats, valid, nfb))
+        assert bool(np.asarray(valid).all())
+        if cfg.mlevel is not None:
+            ref = mlevel_args_still_ok(
+                np.asarray(st.pos, np.float64),
+                np.asarray(h, np.float64),
+                cfg.mlevel,
+            )
+            if ref is not None:
+                mlargs = ref
+        return st, h, int(np.asarray(nfb).sum())
+
+    st, h = state, h0
+    st, h, _ = run_sub(st, h)  # compile + warm
+    n_sub = max(BENCH_STEPS // sub, 1)
+    nfb_tot = 0
     t0 = time.time()
-    _, stats, valid, _, _, nfb = chunk(
-        state_w, params, h_w, n_steps=BENCH_STEPS, mlargs=mlargs
-    )
-    fetch((stats, valid, nfb))
+    for _ in range(n_sub):
+        st, h, nfb_k = run_sub(st, h)
+        nfb_tot += nfb_k
     elapsed = time.time() - t0
-    assert bool(np.asarray(valid).all())
+    steps = n_sub * sub
     out = {
         "hard_n_particles": n,
         "hard_contrast": float(d["contrast"]),
-        "hard_particle_steps_per_s": round(n * BENCH_STEPS / elapsed, 1),
-        "hard_ms_per_force_pass": round(elapsed / (BENCH_STEPS * 2) * 1e3, 2),
-        "hard_fallback_evals": int(np.asarray(nfb).sum()),
+        "hard_particle_steps_per_s": round(n * steps / elapsed, 1),
+        "hard_ms_per_force_pass": round(elapsed / (steps * 2) * 1e3, 2),
+        "hard_fallback_evals": nfb_tot,
     }
     out.update(hard_engine)
     return out

@@ -39,6 +39,15 @@ PLOT_N = {"polytropic": 10000, "isothermal": 1000}
 # the P3M side ~linearly, crossing just under 2e5 (see BASELINE.md).
 P3M_MIN_N = 150_000
 
+# Multi-level chunks are capped at this many steps per dispatch: the
+# active-strip lists are traced chunk constants, and although they are
+# dilated one cell for drift (physics/mlevel._strip_sets), a long chunk
+# lets CFL drift (0.15 cell/step) outrun them and certification-fallback
+# the tail of the chunk. Refreshing the lists between short sub-chunks is
+# a cheap host pass (mlevel_args_still_ok) with NO recompile — only the
+# spec is a compile key.
+ML_SUBCHUNK = 2
+
 
 def find_star_radius(rlin: np.ndarray, rho_radial: np.ndarray, threshold: float):
     """First radius where the profile drops below threshold
@@ -132,7 +141,14 @@ def run_simulation(
         import jax
         from jax.sharding import Mesh
 
-        from ..shard.tiles import AXIS, pack_state, plan_slabs, unpack_rows
+        from ..shard.mlevel import make_ml_chunk_runner, mlargs_tree
+        from ..shard.tiles import (
+            AXIS,
+            pack_state,
+            plan_slabs,
+            slab_plan_still_ok,
+            unpack_rows,
+        )
 
         devs = jax.devices()[:n_devices]
         if len(devs) < n_devices:
@@ -141,6 +157,8 @@ def run_simulation(
             )
         mesh = Mesh(np.array(devs), (AXIS,))
         _slab_cache = {}
+        _slab_plans = []  # [(cfg_s, plan)], most recent first (hysteresis)
+        _ml_cache = {}
 
         def get_slab_chunk(cfg_s, plan):
             from ..shard.tiles import make_slab_chunk_runner
@@ -150,48 +168,118 @@ def run_simulation(
                 _slab_cache[key] = make_slab_chunk_runner(cfg_s, plan, mesh)
             return _slab_cache[key]
 
+        def get_ml_chunk(cfg_ml):
+            if cfg_ml not in _ml_cache:
+                _ml_cache[cfg_ml] = make_ml_chunk_runner(cfg_ml, mesh)
+            return _ml_cache[cfg_ml]
+
+    def _fresh_h(state2):
+        """Frozen steps leave h/rho at pre-freeze values for the executed
+        prefix; recompute the planning h on the host so the re-plan sees
+        the real state."""
+        d_knn, _ = cKDTree(np.asarray(state2.pos)).query(
+            np.asarray(state2.pos), k=kh
+        )
+        return d_knn[:, -1] / 2.0
+
     def run_chunk_sharded(state, h_host, n_steps):
         """One sharded chunk. Returns (state', stats, valid, h_host',
-        rho_host, cert_fired) — or None when no slab plan certifies (the
-        caller falls back to the single-device path for this chunk)."""
-        plan = plan_slabs(
-            np.asarray(state.pos), h_host, kh, n_devices,
-            chunk_steps=n_steps,
-        )
-        if plan is None:
-            return None
+        rho_host, cert_fired) — or None when neither a slab plan (z-slab
+        tile engine, the memory-sharding path) nor a multi-level spec
+        (strip-sharded work path, for deep collapse where slabs cannot
+        certify or balance) is feasible; the caller then falls back to
+        the single-device path for this chunk.
+
+        Compile-aware hysteresis on both paths: any already-compiled slab
+        geometry or mlevel spec that still certifies on the current state
+        (host forecast) is reused instead of planning — and compiling —
+        a fresh one."""
+        pos_host = np.asarray(state.pos)
         grav = (
             "p3m"
             if gravity == "p3m" or (gravity == "auto" and n >= P3M_MIN_N)
             else "exact"
         )
-        cfg_s = EngineConfig(
-            n=n, kh=kh, eos=eos, dtype=dtype, tile=(plan.grid, plan.cap),
-            gravity=grav,
+
+        cfg_s = plan = None
+        for cfg_c, plan_c in _slab_plans:
+            if cfg_c.gravity == grav and slab_plan_still_ok(
+                plan_c, pos_host, h_host
+            ):
+                cfg_s, plan = cfg_c, plan_c
+                break
+        if plan is None:
+            plan = plan_slabs(
+                pos_host, h_host, kh, n_devices, chunk_steps=n_steps
+            )
+            if plan is not None:
+                cfg_s = EngineConfig(
+                    n=n, kh=kh, eos=eos, dtype=dtype,
+                    tile=(plan.grid, plan.cap), gravity=grav,
+                )
+                _slab_plans.insert(0, (cfg_s, plan))
+                del _slab_plans[8:]
+        if plan is not None:
+            chunk = get_slab_chunk(cfg_s, plan)
+            sl = pack_state(state, plan, mesh)
+            sl2, stats, valid, cert, h_rows, rho_rows = chunk(
+                sl, params, jnp.asarray(plan.z0s, jnp.int32), plan.half,
+                n_steps=n_steps,
+            )
+            state2 = State(
+                pos=jnp.asarray(unpack_rows(np.asarray(sl2.pos), plan, n), jd),
+                vel=jnp.asarray(unpack_rows(np.asarray(sl2.vel), plan, n), jd),
+                K=jnp.asarray(unpack_rows(np.asarray(sl2.K), plan, n), jd),
+                t=sl2.t,
+            )
+            h2 = unpack_rows(np.asarray(h_rows, np.float64), plan, n)
+            rho2 = unpack_rows(np.asarray(rho_rows, np.float64), plan, n)
+            cert_fired = bool(np.asarray(cert).any())
+            if cert_fired:
+                h2 = _fresh_h(state2)
+                # a geometry the engine itself rejected must not be
+                # re-picked by the hysteresis next chunk
+                _slab_plans[:] = [
+                    (c_, p_) for c_, p_ in _slab_plans if p_ is not plan
+                ]
+            return state2, stats, valid, h2, rho2, cert_fired
+
+        # no certifiable slab decomposition (deep collapse): strip-sharded
+        # multi-level engine — replicated state, work lists split across
+        # the mesh, psum-combined rows (sphtpu/shard/mlevel.py)
+        from ..physics.mlevel import mlevel_args_still_ok, plan_mlevel
+
+        cfg_ml = mlargs = None
+        for cfg_c in _ml_cache:
+            if cfg_c.gravity != grav:
+                continue
+            a = mlevel_args_still_ok(pos_host, h_host, cfg_c.mlevel)
+            if a is not None:
+                cfg_ml, mlargs = cfg_c, a
+                break
+        if cfg_ml is None:
+            ml = plan_mlevel(
+                pos_host, h_host, kh, gravity=grav, shards=n_devices
+            )
+            if ml is None:
+                return None
+            spec, mlargs = ml
+            cfg_ml = EngineConfig(
+                n=n, kh=kh, eos=eos, dtype=dtype, mlevel=spec, gravity=grav
+            )
+        chunk = get_ml_chunk(cfg_ml)
+        # short sub-chunks keep the traced strip lists fresh (ML_SUBCHUNK
+        # note above); the outer loop's cadence logic handles the partial
+        # chunk and the next iteration refreshes args via hysteresis
+        state2, stats, valid, cert, h_rows, rho_rows = chunk(
+            state, params, jnp.asarray(h_host, jd), mlargs_tree(mlargs),
+            n_steps=min(n_steps, ML_SUBCHUNK),
         )
-        chunk = get_slab_chunk(cfg_s, plan)
-        sl = pack_state(state, plan, mesh)
-        sl2, stats, valid, cert, h_rows, rho_rows = chunk(
-            sl, params, jnp.asarray(plan.z0s, jnp.int32), plan.half,
-            n_steps=n_steps,
-        )
-        state2 = State(
-            pos=jnp.asarray(unpack_rows(np.asarray(sl2.pos), plan, n), jd),
-            vel=jnp.asarray(unpack_rows(np.asarray(sl2.vel), plan, n), jd),
-            K=jnp.asarray(unpack_rows(np.asarray(sl2.K), plan, n), jd),
-            t=sl2.t,
-        )
-        h2 = unpack_rows(np.asarray(h_rows, np.float64), plan, n)
-        rho2 = unpack_rows(np.asarray(rho_rows, np.float64), plan, n)
+        h2 = np.asarray(h_rows, np.float64)
+        rho2 = np.asarray(rho_rows, np.float64)
         cert_fired = bool(np.asarray(cert).any())
         if cert_fired:
-            # frozen steps left h/rho at their pre-freeze values for the
-            # executed prefix; recompute the planning h on the host so the
-            # re-plan sees the real state
-            d_knn, _ = cKDTree(np.asarray(state2.pos)).query(
-                np.asarray(state2.pos), k=kh
-            )
-            h2 = d_knn[:, -1] / 2.0
+            h2 = _fresh_h(state2)
         return state2, stats, valid, h2, rho2, cert_fired
 
     def _cfg_cost(c: EngineConfig) -> float:
@@ -445,6 +533,8 @@ def run_simulation(
             with timer("pick_grid"):
                 cfg, mlargs = pick_cfg(h_host, np.asarray(state.pos))
                 chunk = get_chunk(cfg)
+            if cfg.mlevel is not None:
+                n_steps = min(n_steps, ML_SUBCHUNK)
             with timer("chunk_steps"):
                 state, stats_code, valid, h_dev, rho_dev, nfb = chunk(
                     state, params, h_dev, n_steps=n_steps, mlargs=mlargs

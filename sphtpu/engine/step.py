@@ -71,6 +71,22 @@ def force_eval(
         if mlargs is None:
             raise ValueError("cfg.mlevel requires mlargs")
         p3m = cfg.gravity == "p3m"
+        # VMEM-resident Pallas phase A per level (pallas_strip_knn.py):
+        # prestacks each level's active cells as (cells, 27*cap) rows —
+        # 4 fields of f32. Auto policy mirrors the mono tile engine's:
+        # TPU backend, f32, total prestack under the measured ~1.6 GB
+        # HBM break-even. The query-blocked kernel handles every
+        # CAP_MENU capacity.
+        prestack_ml = sum(
+            4 * na * g * 27 * cap * 4 for (g, cap, na, nb) in cfg.mlevel[0]
+        )
+        use_pallas_ml = (
+            cfg.pallas_a
+            if cfg.pallas_a is not None
+            else jax.default_backend() == "tpu"
+            and cfg.dtype == "float32"
+            and prestack_ml <= 1.6e9
+        )
         tf, gcorr, ok = mlevel_sph_forces(
             pos,
             vel,
@@ -87,6 +103,7 @@ def force_eval(
             spec=cfg.mlevel,
             mesh_factor=cfg.mesh_factor,
             sigma_cells=cfg.sigma_cells,
+            pallas_a=use_pallas_ml,
         )
         if p3m and ghat is None:
             ghat = greens_hat(cfg.mesh_pad, cfg.sigma_cells, pos.dtype)

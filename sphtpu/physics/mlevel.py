@@ -9,8 +9,10 @@ tile-shaped (slice-only, gather-free) work:
 *   L independent grids, fine -> coarse (edges s_0 < s_1 < ...). Every
     particle is binned into EVERY level's slot planes (it is a candidate
     everywhere) but is a QUERY only at its species level: the finest level
-    with OUTLIER_CUT * h_hint <= s_l. Rows too big for the coarsest level
-    go to a streaming residual lane (exact, O(B_res*N), B_res small).
+    with ROUTE_CUT * h_hint <= s_l (22% drift headroom; the in-engine
+    certificate checks found r_k against the per-query guaranteed stencil
+    reach, which stays exact). Rows too big for the coarsest level go to a
+    streaming residual lane (exact, O(B_res*N), B_res small).
 *   Within one level the hot loops are exactly the tiles.py sweeps: padded
     slot planes, 3x3-stacked candidate slices, 4-ary count bisection for
     the exact r_Kh (h = r_Kh/2, polytrope_hydroKDTree.jl:151), forward +
@@ -27,9 +29,9 @@ tile-shaped (slice-only, gather-free) work:
     cell whose occupancy exceeds cap_l is OPAQUE (excess slots dropped,
     species-l rows slotted first so queries/sources are never dropped) and
     certification demands every species-l row's interaction sphere keeps
-    clear of opaque cells: mindist(row, cell) > h_row + s_l/2 — which
-    bounds both its kNN radius (2h) and its softened-gravity reach
-    (h_row + h_partner). The planner routes rows that would graze an
+    clear of opaque cells: mindist(row, cell) > max(h_row + s_l/2, 2h_row)
+    — which bounds both its kNN radius (2h) and its softened-gravity
+    reach (h_row + h_partner). The planner routes rows that would graze an
     opaque cell into the residual lane preemptively; the in-engine check
     on FOUND values remains the safety net (a wrong hint costs a fallback,
     never physics — including the case where dropped true neighbors
@@ -57,6 +59,7 @@ committed deep-collapse fixture).
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -67,13 +70,38 @@ from scipy.ndimage import binary_dilation
 
 from ..kernels import W, grad_W_over_r, softened_gphi_over_r, softened_phi
 from .mesh_gravity import newton_minus_mesh
-from .outliers import OUTLIER_CUT
 from .tiles import ReducedForces
 
 # snapped menus keep distinct compiled configurations rare across a run
 GRID_MENU = (2, 3, 4, 5, 6, 8, 10, 13, 16, 20, 26, 32, 40, 52, 64, 80, 104, 128)
 CAP_MENU = (32, 48, 64, 96, 128, 192, 256, 384, 512)
 ACT_GRAN = 32  # active-strip list length granularity
+
+# SPHTPU_MLDEBUG=1: emit a per-eval certificate breakdown (which cert
+# component failed, per level) via jax.debug.print — production cost is
+# zero when unset (static gate, specialized out of the trace).
+# NOTE: the axon TPU backend does not support host callbacks, so this
+# only works on CPU/standard-TPU backends.
+_MLDEBUG = os.environ.get("SPHTPU_MLDEBUG", "") == "1"
+
+# Species routing margin — deliberately wider than the mono tile engine's
+# OUTLIER_CUT (2.0 * 1.07). h drifts up to ~10% per step (the dt ladder's
+# c1 = 0.3/|div v| bound on relative density change), and the last force
+# eval of an ML_SUBCHUNK=2-step sub-chunk runs against strip lists / a
+# species routing planned ~1.5 steps of drift earlier — with only 7%
+# headroom those rows tripped the r_k certificate on the real collapse
+# state (measured: 1% of L0 rows under 7.6% margin on the committed
+# fixture, nfb 2-3 per 2-step chunk). 22% routing headroom plus the
+# per-query guaranteed-reach certificate (see phase_a) absorbs the drift;
+# the in-engine certificate stays exact, so the margin costs slot work,
+# never correctness.
+ROUTE_CUT = 2.0 * 1.22
+# Opacity-graze pre-routing cushions, mirroring the same drift window:
+# h can grow ~1.2x and positions move ~0.25 cell before the lists are
+# refreshed, so the host routes to the residual lane anything the engine
+# MIGHT see grazing an opaque cell during the sub-chunk.
+_GRAZE_H_FACTOR = 1.25
+_GRAZE_POS_CELLS = 0.3
 
 
 class MLArgs(NamedTuple):
@@ -110,7 +138,7 @@ def _ceil_to(x: int, m: int) -> int:
     return -(-max(x, 1) // m) * m
 
 
-def _species_of(h, s_edges, cut=OUTLIER_CUT):
+def _species_of(h, s_edges, cut=ROUTE_CUT):
     """Finest level l with cut*h <= s_l; len(s_edges) = residual."""
     sp = np.full(h.shape[0], len(s_edges), np.int32)
     for l in range(len(s_edges) - 1, -1, -1):
@@ -142,6 +170,16 @@ def _host_layout(pos, h, levels, half, cache=None):
     return s_edges, sp, cells, occ
 
 
+def _graze_rcut(h_rows, s):
+    """Host forecast of the engine's opacity-clearance radius over one
+    sub-chunk of drift: the engine requires dmin > max(h + s/2, 2h) on
+    FOUND h; h may grow _GRAZE_H_FACTOR x and the row may move
+    _GRAZE_POS_CELLS cells toward the opaque cell before the lists are
+    refreshed."""
+    hf = _GRAZE_H_FACTOR * h_rows
+    return np.maximum(hf + 0.5 * s, 2.0 * hf) + _GRAZE_POS_CELLS * s
+
+
 def _graze(pos, half, rows, rcut, cell, opaque3, s, g):
     """rows (indices into pos) whose ball of radius rcut touches an opaque
     stencil cell. Host numpy; pos in centered coords, cells in [0,g)."""
@@ -170,28 +208,48 @@ def _graze(pos, half, rows, rcut, cell, opaque3, s, g):
 
 
 def _strip_sets(cells, sp_mask, g):
-    """(active-A strip ids, active-B strip ids) for one level: strips
-    holding marked rows, and nonempty strips within one cell of them."""
-    sid_all = cells[:, 2] * g + cells[:, 0]
+    """(active-A, active-B, active-C) strip ids for one level.
+
+    The lists are traced chunk constants while the state DRIFTS under
+    them: per-step motion is CFL-bounded by 0.3 h <= 0.15 s, so over a
+    short chunk a row near a strip boundary can cross into a neighboring
+    (z, x) strip. Each list is therefore DILATED one cell beyond its
+    minimal set — A: strips holding species-l rows +1 (phase-A coverage
+    of drifted queries); B: +1 beyond A (reverse receivers one cell from
+    any drifted query); C: nonempty strips +1 (every particle must stay
+    covered by the mesh-tail pass). The in-engine coverage certificates
+    compare the CURRENT need against these provisions, so a drift that
+    outruns the dilation still fails safe (fallback, never physics)."""
     a2d = np.zeros((g, g), bool)
     src = cells[sp_mask]
     a2d[src[:, 2], src[:, 0]] = True
     nonempty = np.zeros((g, g), bool)
     nonempty[cells[:, 2], cells[:, 0]] = True
-    b2d = binary_dilation(a2d, np.ones((3, 3), bool)) & nonempty
-    act_a = np.flatnonzero(a2d.reshape(-1)).astype(np.int32)
+    k3 = np.ones((3, 3), bool)
+    a_dil = binary_dilation(a2d, k3)
+    b2d = binary_dilation(a_dil, k3)
+    ne_dil = binary_dilation(nonempty, k3)
+    act_a = np.flatnonzero(a_dil.reshape(-1)).astype(np.int32)
     act_b = np.flatnonzero(b2d.reshape(-1)).astype(np.int32)
-    return act_a, act_b, np.flatnonzero(nonempty.reshape(-1)).astype(np.int32)
+    return act_a, act_b, np.flatnonzero(ne_dil.reshape(-1)).astype(np.int32)
 
 
 def _pad_act(ids, n_pad, n_tiles):
-    """Pad an active list by repeating a valid id (duplicates are
-    harmless: they recompute and rewrite identical tile outputs)."""
-    out = np.zeros(n_pad, np.int32)
+    """Pad an active list with the out-of-range sentinel `n_tiles` (= g*g).
+    Sentinel strips compute a clamped-garbage tile whose outputs scatter
+    out of bounds and drop — so padding is harmless on one device AND
+    never double-counts when the list is sharded across devices (a
+    repeated real id would be computed — and set/psum-merged — twice)."""
+    out = np.full(n_pad, n_tiles, np.int32)
     if ids.size:
         out[: ids.size] = ids[:n_pad]
-        out[ids.size :] = ids[0]
     return out
+
+
+def _lcm(a: int, b: int) -> int:
+    import math
+
+    return a * b // math.gcd(a, b)
 
 
 # ---------------------------------------------------------------------------
@@ -220,6 +278,7 @@ def plan_mlevel(
     act_slack: float = 1.3,
     slots_max: int = 12_000_000,
     mesh_factor: int = 5,
+    shards: int = 1,
 ):
     """Choose a multi-level spec for the current state.
 
@@ -227,6 +286,10 @@ def plan_mlevel(
     multi-level configuration exists (caller keeps mono-level/gather).
     spec_tuple = (levels, res_budget, mesh_level, nc) with
     levels = ((grid, cap, na, nb), ...).
+
+    shards > 1 sizes every active list and the residual budget to a
+    multiple of `shards`, so the sharded engine (sphtpu.shard.mlevel) can
+    split them evenly across devices.
     """
     pos_code = np.asarray(pos_code)
     h = np.asarray(h)
@@ -239,40 +302,61 @@ def plan_mlevel(
     # generous and a tight capacity strategy (tight caps make more cells
     # opaque and graze-route more rows to the residual lane; the cost
     # model arbitrates).
-    g_fine = max(int(2.0 * half / (OUTLIER_CUT * float(np.quantile(h, 0.3)))), 2)
+    g_fine = max(int(2.0 * half / (ROUTE_CUT * float(np.quantile(h, 0.3)))), 2)
     h_max = float(h.max())
 
-    best = None
-    layout_cache = {}
+    # candidate ladders: from each starting grid, descend the snapped
+    # menu by 2 slots (ratio ~1.6 — tighter level spacing shrinks coarse
+    # caps) or 3 slots (ratio ~2); every PREFIX of every ladder is a
+    # candidate and the cost model arbitrates. layout_cache amortizes the
+    # per-grid host binning across all of them.
+    menu_idx = {g: i for i, g in enumerate(GRID_MENU)}
+
+    def build_ladder(g0, step):
+        lad = [g0]
+        while (
+            2.0 * half / lad[-1] < ROUTE_CUT * h_max
+            and len(lad) < max_levels
+            and lad[-1] > 2
+        ):
+            i = menu_idx.get(lad[-1])
+            nxt = (
+                GRID_MENU[max(i - step, 0)]
+                if i is not None
+                else max(lad[-1] // 2, 2)
+            )
+            if nxt >= lad[-1]:
+                if lad[-1] // 2 < 2:
+                    break
+                nxt = lad[-1] // 2
+            lad.append(nxt)
+        return tuple(lad)
+
+    prefixes = set()
     for g0 in {
         _snap_up(GRID_MENU, max(g_fine // 2, 2)),
         _snap_up(GRID_MENU, max(int(g_fine / 1.4), 2)),
         _snap_up(GRID_MENU, g_fine),
     }:
-        ladder = [g0]
-        while (
-            2.0 * half / ladder[-1] < OUTLIER_CUT * h_max
-            and len(ladder) < max_levels
-            and ladder[-1] > 2
-        ):
-            nxt = _snap_up(GRID_MENU, max(ladder[-1] // 2, 2))
-            if nxt >= ladder[-1]:
-                if ladder[-1] // 2 < 2:
-                    break
-                nxt = ladder[-1] // 2
-            ladder.append(nxt)
-        for n_keep in range(1, len(ladder) + 1):
-            for cap_q in (0.985, 0.9):
-                cand = _plan_for_grids(
-                    pos_code, h, kh, ladder[:n_keep], half,
-                    gravity=gravity, cap_max=cap_max,
-                    res_budget_max=res_budget_max, headroom=headroom,
-                    act_slack=act_slack, slots_max=slots_max,
-                    mesh_factor=mesh_factor, cap_quantile=cap_q,
-                    layout_cache=layout_cache,
-                )
-                if cand is not None and (best is None or cand[0] < best[0]):
-                    best = cand
+        for step in (2, 3):
+            lad = build_ladder(g0, step)
+            for n_keep in range(1, len(lad) + 1):
+                prefixes.add(lad[:n_keep])
+
+    best = None
+    layout_cache = {}
+    for lad in sorted(prefixes):
+        for cap_q in (0.985, 0.9):
+            cand = _plan_for_grids(
+                pos_code, h, kh, list(lad), half,
+                gravity=gravity, cap_max=cap_max,
+                res_budget_max=res_budget_max, headroom=headroom,
+                act_slack=act_slack, slots_max=slots_max,
+                mesh_factor=mesh_factor, cap_quantile=cap_q,
+                layout_cache=layout_cache, shards=shards,
+            )
+            if cand is not None and (best is None or cand[0] < best[0]):
+                best = cand
     if best is None:
         return None
     return best[1], best[2]
@@ -281,8 +365,10 @@ def plan_mlevel(
 def _plan_for_grids(
     pos_code, h, kh, grids, half, *,
     gravity, cap_max, res_budget_max, headroom, act_slack, slots_max,
-    mesh_factor, cap_quantile=0.985, layout_cache=None,
+    mesh_factor, cap_quantile=0.985, layout_cache=None, shards=1,
 ):
+    gran = _lcm(ACT_GRAN, shards)
+    res_gran = _lcm(256, shards)
     n = h.shape[0]
     levels0 = [(g, 0) for g in grids]
     s_edges, sp, cells, occ = _host_layout(
@@ -332,7 +418,7 @@ def _plan_for_grids(
     for l, (g, cap) in enumerate(zip(grids, caps)):
         opaque3 = occ[l] > cap
         rows = np.flatnonzero(sp == l)
-        rcut = (h[rows] + 0.5 * s_edges[l]) * 1.1  # found-value margin
+        rcut = _graze_rcut(h[rows], s_edges[l])
         gz = _graze(pos_code, half, rows, rcut, cells[l], opaque3, s_edges[l], g)
         res[rows[gz]] = True
         sp[rows[gz]] = len(grids)
@@ -340,7 +426,7 @@ def _plan_for_grids(
     n_res = int(res.sum())
     if n_res > res_budget_max:
         return None
-    res_budget = _ceil_to(int(n_res * 1.5 + 64), 256) if n_res else 0
+    res_budget = _ceil_to(int(n_res * 1.5 + 64), res_gran) if n_res else 0
 
     # species-l rows must fit their own cells' capacity (they have slot
     # priority, but > cap own-species rows in one cell cannot certify)
@@ -362,10 +448,10 @@ def _plan_for_grids(
         if g**3 * cap > slots_max:
             return None
         act_a, act_b, nonempty = _strip_sets(cells[l], sp == l, g)
-        na = min(_ceil_to(int(act_a.size * act_slack), ACT_GRAN), g * g)
-        nb = min(_ceil_to(int(act_b.size * act_slack), ACT_GRAN), g * g)
+        na = min(_ceil_to(int(act_a.size * act_slack), gran), _ceil_to(g * g, gran))
+        nb = min(_ceil_to(int(act_b.size * act_slack), gran), _ceil_to(g * g, gran))
         if act_a.size == 0:
-            na = nb = ACT_GRAN  # keep the level alive for drift
+            na = nb = gran  # keep the level alive for drift
         levels.append((g, cap, na, nb))
         acts_a.append(act_a)
         acts_b.append(act_b)
@@ -383,8 +469,8 @@ def _plan_for_grids(
         mesh_level = 0
         gml, capml = levels[0][0], levels[0][1]
         nc = min(
-            _ceil_to(int(nonempties[0].size * act_slack), ACT_GRAN),
-            gml * gml,
+            _ceil_to(int(nonempties[0].size * act_slack), gran),
+            _ceil_to(gml * gml, gran),
         )
         cost += nc * gml * capml * 125 * capml * _OPS_C
 
@@ -434,7 +520,7 @@ def mlevel_args_still_ok(pos_code, h, spec):
     for l, (g, cap) in enumerate(zip(grids, caps)):
         opaque3 = occ[l] > cap
         rows = np.flatnonzero(sp == l)
-        rcut = (h[rows] + 0.5 * s_edges[l]) * 1.1
+        rcut = _graze_rcut(h[rows], s_edges[l])
         gz = _graze(pos_code, half, rows, rcut, cells[l], opaque3, s_edges[l], g)
         res[rows[gz]] = True
         sp[rows[gz]] = len(grids)
@@ -530,7 +616,8 @@ def _bisect_rk(d2m, kf, hi0, lo0, passes, dtype):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "eos", "kh", "spec", "mesh_factor", "sigma_cells",
+        "eos", "kh", "spec", "mesh_factor", "sigma_cells", "axis",
+        "n_shards", "pallas_a", "pallas_interpret",
     ),
 )
 def mlevel_sph_forces(
@@ -550,6 +637,10 @@ def mlevel_sph_forces(
     spec: tuple,
     mesh_factor: int = 5,
     sigma_cells: float = 2.2,
+    axis: str = None,
+    n_shards: int = 1,
+    pallas_a: bool = False,
+    pallas_interpret: bool = False,
 ):
     """Multi-level force evaluation. Same contract as tile_sph_forces:
     returns (ReducedForces, (gx, gy, gz, phi) near-gravity corrections,
@@ -560,6 +651,17 @@ def mlevel_sph_forces(
     mode (mesh_level == 0) they complete the FFT mesh force exactly as in
     tiles.py, with phase C running on the level-0 planes (level 0 is kept
     opacity-free, so every particle is present).
+
+    axis (under shard_map): shard the WORK, not the state. Inputs are
+    replicated; each of the `n_shards` devices sweeps its slice of every
+    active-strip list and of the residual row budget, and per-row outputs
+    are psum-combined (each row's set-style fields are written by exactly
+    one device, add-style fields are partial sums). The spec must be
+    planned with plan_mlevel(shards=n_shards) so list lengths divide
+    evenly. This is the deep-collapse distribution strategy: a z-slab
+    decomposition of a collapsed core concentrates all WORK in the core
+    slab no matter how particle counts balance, while strip-sharding
+    balances slot work exactly (sphtpu/shard/mlevel.py).
     """
     levels, res_budget, mesh_level, nc = spec
     L = len(levels)
@@ -574,14 +676,40 @@ def mlevel_sph_forces(
     spec_f = species.astype(dtype)
     s_l = [2.0 * half / levels[l][0] for l in range(L)]
 
+    # work-shard slicer: each device sweeps its contiguous slice of a
+    # padded list (sentinel-padded, so shards never recompute — and never
+    # double-merge — a real entry). Coverage/certification checks always
+    # use the FULL lists (they assert the union covers the state).
+    if axis is not None:
+        shard_at = lax.axis_index(axis)
+
+        def shard_ids(ids):
+            k = ids.shape[0] // n_shards
+            if k * n_shards != ids.shape[0]:
+                raise ValueError(
+                    f"active list length {ids.shape[0]} not divisible by "
+                    f"{n_shards} shards; plan with plan_mlevel(shards=...)"
+                )
+            return lax.dynamic_slice(ids, (shard_at * k,), (k,))
+    else:
+
+        def shard_ids(ids):
+            return ids
+
     # ---- residual selection ----
     if res_budget > 0:
         res_mask = species == L
         n_res = jnp.sum(res_mask)
         res_ok = n_res <= res_budget
+        if _MLDEBUG:
+            jax.debug.print(
+                "MLDEBUG res: n_res={r} budget={b} ok={o}",
+                r=n_res, b=res_budget, o=res_ok,
+            )
         res_rows = jnp.nonzero(res_mask, size=res_budget, fill_value=n)[0].astype(
             jnp.int32
         )
+        res_rows = shard_ids(res_rows)
     else:
         res_mask = jnp.zeros((n,), bool)
         res_ok = jnp.all(species < L)
@@ -629,6 +757,16 @@ def mlevel_sph_forces(
         if mesh_level == 0 and l == 0:
             prov_c = jnp.zeros((g * g,), jnp.int32).at[mlargs.act_c].set(1)
             cov_ok = cov_ok & ~jnp.any(ne2d.reshape(-1) > prov_c)
+        if _MLDEBUG:
+            jax.debug.print(
+                "MLDEBUG L{l} cov: dropped_own={d} a_uncov={a} b_uncov={b}"
+                " opaque={o}",
+                l=l,
+                d=jnp.sum((species == l) & dropped),
+                a=jnp.sum(need_a > prov_a),
+                b=jnp.sum(need_b > prov_b),
+                o=jnp.sum(opaque),
+            )
 
         pz = c[:, 2] + 1
         py = c[:, 1] + 1
@@ -658,10 +796,9 @@ def mlevel_sph_forces(
         SPECP = to_plane(l, spec_f, fill=-1.0)
         a_planes.append((X, Y, Z, MASK, SPECP))
         s = s_l[l]
-        opq = jnp.pad(binfo[l]["opaque"].astype(jnp.int32), 1)
 
         def phase_a(t, g=g, cap=cap, s=s, X=X, Y=Y, Z=Z, MASK=MASK,
-                    SPECP=SPECP, opq=opq, l=l):
+                    SPECP=SPECP, l=l):
             (qx, cx), (qy, cy), (qz, cz), (qm, cm), (qs, _) = _strip_views(
                 (X, Y, Z, MASK, SPECP), t, g, cap, 3
             )
@@ -671,7 +808,30 @@ def mlevel_sph_forces(
             d2 = dx * dx + dy * dy + dz * dz
             valid = (cm[:, :, None, :] > 0) & (qm[..., None] > 0)
             d2m = jnp.where(valid, d2, big)
-            hi0 = jnp.full(qm.shape, 1.001, dtype) * s * s
+            # per-query GUARANTEED search reach: the 3^3 stencil covers
+            # any radius up to s + (distance from the query to its own
+            # cell's nearest face) — exactly s for a corner-sitting row,
+            # up to 1.5 s mid-cell. Certifying against this reach instead
+            # of a uniform s gives most rows free headroom against h
+            # drift within a sub-chunk (same exactness: everything within
+            # reach is provably present in the stencil).
+            zt0 = (t // g).astype(jnp.int32)
+            xt0 = (t % g).astype(jnp.int32)
+            lox = xt0.astype(dtype) * s - half
+            loz = zt0.astype(dtype) * s - half
+            loy = (
+                jnp.arange(g, dtype=dtype)[None, :, None] * s - half
+            )
+            face = jnp.minimum(
+                jnp.minimum(qx - lox, lox + s - qx),
+                jnp.minimum(
+                    jnp.minimum(qy - loy, loy + s - qy),
+                    jnp.minimum(qz - loz, loz + s - qz),
+                ),
+            )
+            reach = s + jnp.clip(face, 0.0, 0.5 * s)
+            reach2 = reach * reach
+            hi0 = 1.001 * reach2
             lo0 = jnp.zeros(qm.shape, dtype)
             rk2, nfound = _bisect_rk(d2m, kf, hi0, lo0, 17, dtype)
             h_t = jnp.sqrt(rk2) / 2.0
@@ -680,52 +840,104 @@ def mlevel_sph_forces(
             rho_t = m * jnp.sum(
                 jnp.where(valid & (d2m <= rk2[..., None]), w_k, 0.0), axis=-1
             )
-            # opacity clearance for species-l queries: every opaque
-            # stencil cell stays beyond h + s/2 (bounds both the kNN
-            # radius 2h and the softened-gravity reach h + h_partner)
-            zt = (t // g).astype(jnp.int32)
-            xt = (t % g).astype(jnp.int32)
-            rcert = h_t + 0.5 * s
-            op_ok = jnp.ones(qm.shape, bool)
-            qxx, qyy, qzz = qx, qy, qz
-            for ddz in range(3):
-                for ddy in range(3):
-                    for ddx in range(3):
-                        oflag = lax.dynamic_slice(
-                            opq,
-                            (zt + ddz, jnp.int32(ddy), xt + ddx),
-                            (1, g, 1),
-                        )[:, :, 0]
-                        # neighbor-cell box (centered coords)
-                        loz = (zt + ddz - 1).astype(dtype) * s - half
-                        lox = (xt + ddx - 1).astype(dtype) * s - half
-                        loy = (
-                            jnp.arange(g, dtype=dtype) + (ddy - 1)
-                        )[None, :, None] * s - half
-                        dxx = jnp.maximum(
-                            jnp.maximum(lox - qxx, qxx - (lox + s)), 0.0
-                        )
-                        dyy = jnp.maximum(
-                            jnp.maximum(loy - qyy, qyy - (loy + s)), 0.0
-                        )
-                        dzz = jnp.maximum(
-                            jnp.maximum(loz - qzz, qzz - (loz + s)), 0.0
-                        )
-                        dmin = jnp.sqrt(dxx * dxx + dyy * dyy + dzz * dzz)
-                        op_ok = op_ok & (
-                            (oflag[..., None] <= 0) | (dmin > rcert)
-                        )
             row_ok = (
                 (qm <= 0)
                 | (qs != l)
-                | ((nfound >= kh) & (jnp.sqrt(rk2) <= s) & op_ok)
+                | ((nfound >= kh) & (rk2 <= reach2))
             )
+            if _MLDEBUG:
+                qmask = (qm > 0) & (qs == l)
+                return (
+                    h_t, rho_t, row_ok.astype(dtype),
+                    jnp.sum(qmask & (nfound < kh)),
+                    jnp.sum(qmask & (rk2 > reach2)),
+                )
             return h_t, rho_t, row_ok.astype(dtype)
 
-        h_st, rho_st, ok_st = lax.map(phase_a, mlargs.act_a[l])
-        Hg = _scatter_strips(h_st, mlargs.act_a[l], g, cap, 0.0, dtype)
-        RHOg = _scatter_strips(rho_st, mlargs.act_a[l], g, cap, 0.0, dtype)
-        OKg = _scatter_strips(ok_st, mlargs.act_a[l], g, cap, 1.0, dtype)
+        act_a_l = shard_ids(mlargs.act_a[l])
+        if pallas_a and not _MLDEBUG:
+            # VMEM-resident phase A (kernels/pallas_strip_knn.py): the
+            # active strips' cells are pre-stacked as (n_cells, 27*cap)
+            # candidate rows so d2 is computed once on-chip instead of
+            # re-streamed from HBM per bisection pass. The stack is built
+            # from 27 shifted whole-plane SLICES (HBM-speed copies) plus
+            # ONE strip-granular take — cell-granular index gathers
+            # measured 2.4 s/eval on the TPU, 360 KB-row takes are DMA
+            # speed. Sentinel strip ids (g*g) clamp to a real strip;
+            # their outputs are dropped at the scatter, exactly like the
+            # XLA path.
+            from ..kernels.pallas_strip_knn import phase_a_cells
+
+            na_l = act_a_l.shape[0]
+            act_cl = jnp.clip(act_a_l, 0, g * g - 1)
+
+            def strips27(P):
+                parts = [
+                    lax.slice(
+                        P,
+                        (dz, dy, dxs * cap),
+                        (dz + g, dy + g, (dxs + g) * cap),
+                    ).reshape(g, g, g, cap)
+                    for dz in range(3)
+                    for dy in range(3)
+                    for dxs in range(3)
+                ]
+                # (z, y, x, 27, cap) -> strips (z*g+x, y, 27*cap)
+                st = jnp.stack(parts, axis=3)
+                st = st.transpose(0, 2, 1, 3, 4).reshape(
+                    g * g, g, 27 * cap
+                )
+                return jnp.take(st, act_cl, axis=0).reshape(
+                    na_l * g, 27 * cap
+                )
+
+            def stripsq(P):
+                q = lax.slice(
+                    P, (1, 1, cap), (1 + g, 1 + g, (1 + g) * cap)
+                ).reshape(g, g, g, cap)
+                q = q.transpose(0, 2, 1, 3).reshape(g * g, g, cap)
+                return jnp.take(q, act_cl, axis=0).reshape(na_l * g, cap)
+
+            QML = to_plane(l, (species == l).astype(dtype))
+            qxc, qyc, qzc = stripsq(X), stripsq(Y), stripsq(Z)
+            qmc = stripsq(QML)
+            zi = jnp.repeat((act_cl // g).astype(jnp.int32), g)[:, None]
+            xi = jnp.repeat((act_cl % g).astype(jnp.int32), g)[:, None]
+            yi = jnp.tile(jnp.arange(g, dtype=jnp.int32), na_l)[:, None]
+            lox = xi.astype(dtype) * s - half
+            loy = yi.astype(dtype) * s - half
+            loz = zi.astype(dtype) * s - half
+            face = jnp.minimum(
+                jnp.minimum(qxc - lox, lox + s - qxc),
+                jnp.minimum(
+                    jnp.minimum(qyc - loy, loy + s - qyc),
+                    jnp.minimum(qzc - loz, loz + s - qzc),
+                ),
+            )
+            reach = s + jnp.clip(face, 0.0, 0.5 * s)
+            h_c, rho_c, ok_c = phase_a_cells(
+                (qxc, qyc, qzc, qmc),
+                reach * reach,
+                (strips27(X), strips27(Y), strips27(Z), strips27(MASK)),
+                m,
+                kh=kh,
+                cap=cap,
+                interpret=pallas_interpret,
+            )
+            h_st = h_c.reshape(na_l, 1, g, cap)
+            rho_st = rho_c.reshape(na_l, 1, g, cap)
+            ok_st = ok_c.reshape(na_l, 1, g, cap)
+        elif _MLDEBUG:
+            h_st, rho_st, ok_st, f_k, f_s = lax.map(phase_a, act_a_l)
+            jax.debug.print(
+                "MLDEBUG L{l} rows: kh_short={k} rk_gt_reach={s}",
+                l=l, k=jnp.sum(f_k), s=jnp.sum(f_s),
+            )
+        else:
+            h_st, rho_st, ok_st = lax.map(phase_a, act_a_l)
+        Hg = _scatter_strips(h_st, act_a_l, g, cap, 0.0, dtype)
+        RHOg = _scatter_strips(rho_st, act_a_l, g, cap, 0.0, dtype)
+        OKg = _scatter_strips(ok_st, act_a_l, g, cap, 1.0, dtype)
         rows_ok = rows_ok & jnp.all(OKg > 0)
         c = binfo[l]["c"]
         rank = binfo[l]["rank"]
@@ -734,12 +946,51 @@ def mlevel_sph_forces(
         Hrow = jnp.where(sel, Hg[c[:, 2], c[:, 1], ix], Hrow)
         RHOrow = jnp.where(sel, RHOg[c[:, 2], c[:, 1], ix], RHOrow)
 
+        # opacity clearance, certified per ROW (shared by the XLA and
+        # Pallas phase-A paths): every opaque stencil cell must stay
+        # beyond max(h + s/2, 2h) of each species-l row — h + s/2 bounds
+        # the pair/gravity reach h + h_partner (partners at this level
+        # have h_partner <= s/2 by routing), 2h the kNN radius, which
+        # the reach certificate allows past s.
+        opf = jnp.pad(binfo[l]["opaque"], 1)
+        rcert_row = jnp.maximum(Hrow + 0.5 * s, 2.0 * Hrow)
+        czr, cyr, cxr = c[:, 2], c[:, 1], c[:, 0]
+        ok_op = jnp.ones((n,), bool)
+        for ddz in range(3):
+            for ddy in range(3):
+                for ddx in range(3):
+                    op = opf[czr + ddz, cyr + ddy, cxr + ddx]
+                    lozr = (czr + ddz - 1).astype(dtype) * s - half
+                    loyr = (cyr + ddy - 1).astype(dtype) * s - half
+                    loxr = (cxr + ddx - 1).astype(dtype) * s - half
+                    dxx = jnp.maximum(
+                        jnp.maximum(loxr - pos[:, 0], pos[:, 0] - (loxr + s)),
+                        0.0,
+                    )
+                    dyy = jnp.maximum(
+                        jnp.maximum(loyr - pos[:, 1], pos[:, 1] - (loyr + s)),
+                        0.0,
+                    )
+                    dzz = jnp.maximum(
+                        jnp.maximum(lozr - pos[:, 2], pos[:, 2] - (lozr + s)),
+                        0.0,
+                    )
+                    dmin = jnp.sqrt(dxx * dxx + dyy * dyy + dzz * dzz)
+                    ok_op = ok_op & (~op | (dmin > rcert_row))
+        if _MLDEBUG:
+            jax.debug.print(
+                "MLDEBUG L{l} rows: op_graze={o}",
+                l=l, o=jnp.sum(sel & ~ok_op),
+            )
+        rows_ok = rows_ok & jnp.all(~sel | ok_op)
+
     return _mlevel_tail(
         pos, vel, m, K, h_hint, mlargs, levels, res_budget, mesh_level,
         species, spec_f, res_rows if res_budget > 0 else None,
         binfo, a_planes, s_l, Hrow, RHOrow, rows_ok, half,
         eos=eos, gamma=gamma, cs0=cs0, alpha=alpha, beta=beta, kh=kh,
         mesh_factor=mesh_factor, sigma_cells=sigma_cells,
+        axis=axis, n_shards=n_shards, shard_ids=shard_ids,
     )
 
 
@@ -747,6 +998,7 @@ def _mlevel_tail(
     pos, vel, m, K, h_hint, mlargs, levels, res_budget, mesh_level,
     species, spec_f, res_rows, binfo, a_planes, s_l, Hrow, RHOrow, rows_ok,
     half, *, eos, gamma, cs0, alpha, beta, kh, mesh_factor, sigma_cells,
+    axis=None, n_shards=1, shard_ids=lambda ids: ids,
 ):
     """Phases B/C + residual lane + merge (continuation of
     mlevel_sph_forces; split only to keep functions reviewable)."""
@@ -763,9 +1015,20 @@ def _mlevel_tail(
             pos, rsafe, rvalid, h_hint[rsafe], m, kh
         )
         rows_ok = rows_ok & jnp.all(~rvalid | (nfound_res >= kh))
+        if _MLDEBUG:
+            jax.debug.print(
+                "MLDEBUG res rows: kh_short={k}",
+                k=jnp.sum(rvalid & (nfound_res < kh)),
+            )
         drop_to = jnp.where(rvalid, res_rows, n)
         Hrow = Hrow.at[drop_to].set(h_res, mode="drop")
         RHOrow = RHOrow.at[drop_to].set(rho_res, mode="drop")
+
+    if axis is not None:
+        # every row's h/rho was produced by exactly one shard (its strip's
+        # owner, or its residual-slice owner); elsewhere the partial is 0
+        Hrow = lax.psum(Hrow, axis)
+        RHOrow = lax.psum(RHOrow, axis)
 
     # ---- derived per-row fields (merged across levels + residual) ----
     rho_safe = jnp.where(RHOrow > 0, RHOrow, 1.0)
@@ -887,9 +1150,10 @@ def _mlevel_tail(
             gp_t = m * jnp.sum(cpp, axis=-1)
             return (ax, ay, az, div_t, mu_max_t, visc_t, gx_t, gy_t, gz_t, gp_t)
 
-        outs = lax.map(phase_b, mlargs.act_b[l])
+        act_b_l = shard_ids(mlargs.act_b[l])
+        outs = lax.map(phase_b, act_b_l)
         grids = [
-            _scatter_strips(o, mlargs.act_b[l], g, cap, 0.0, dtype)
+            _scatter_strips(o, act_b_l, g, cap, 0.0, dtype)
             for o in outs
         ]
         c = binfo[l]["c"]
@@ -954,10 +1218,11 @@ def _mlevel_tail(
                 m * jnp.sum(cpp, axis=-1),
             )
 
-        outs_c = lax.map(phase_c, mlargs.act_c)
+        act_c_s = shard_ids(mlargs.act_c)
+        outs_c = lax.map(phase_c, act_c_s)
         ix0 = c0[:, 0] * cap0 + jnp.minimum(rank0, cap0 - 1)
         for o, tgt in zip(outs_c, ("x", "y", "z", "p")):
-            gr = _scatter_strips(o, mlargs.act_c, g0, cap0, 0.0, dtype)
+            gr = _scatter_strips(o, act_c_s, g0, cap0, 0.0, dtype)
             v = gr[c0[:, 2], c0[:, 1], ix0]
             if tgt == "x":
                 ggx = ggx + v
@@ -981,12 +1246,28 @@ def _mlevel_tail(
         # (maxspec == L never matches a level) while phase C's geometric
         # (Newtonian - mesh) term does include them -> ADD the lane's
         # (softened - Newtonian) term on top
-        acc_x = acc_x.at[drop_to].set(rowB["ax"], mode="drop")
-        acc_y = acc_y.at[drop_to].set(rowB["ay"], mode="drop")
-        acc_z = acc_z.at[drop_to].set(rowB["az"], mode="drop")
-        div_row = div_row.at[drop_to].set(rowB["div"], mode="drop")
-        mu_row = mu_row.at[drop_to].set(rowB["mu"], mode="drop")
-        visc_row = visc_row.at[drop_to].set(rowB["visc"], mode="drop")
+        if axis is not None:
+            # sharded REPLACE: zero every shard's plane partials at
+            # residual rows, then let the owning shard ADD its complete
+            # rows — the psum below then yields exactly rowB once
+            res_all = species == len(levels)
+            acc_x = jnp.where(res_all, 0.0, acc_x)
+            acc_y = jnp.where(res_all, 0.0, acc_y)
+            acc_z = jnp.where(res_all, 0.0, acc_z)
+            visc_row = jnp.where(res_all, 0.0, visc_row)
+            acc_x = acc_x.at[drop_to].add(rowB["ax"], mode="drop")
+            acc_y = acc_y.at[drop_to].add(rowB["ay"], mode="drop")
+            acc_z = acc_z.at[drop_to].add(rowB["az"], mode="drop")
+            div_row = div_row.at[drop_to].add(rowB["div"], mode="drop")
+            mu_row = mu_row.at[drop_to].add(rowB["mu"], mode="drop")
+            visc_row = visc_row.at[drop_to].add(rowB["visc"], mode="drop")
+        else:
+            acc_x = acc_x.at[drop_to].set(rowB["ax"], mode="drop")
+            acc_y = acc_y.at[drop_to].set(rowB["ay"], mode="drop")
+            acc_z = acc_z.at[drop_to].set(rowB["az"], mode="drop")
+            div_row = div_row.at[drop_to].set(rowB["div"], mode="drop")
+            mu_row = mu_row.at[drop_to].set(rowB["mu"], mode="drop")
+            visc_row = visc_row.at[drop_to].set(rowB["visc"], mode="drop")
         ggx = ggx.at[drop_to].add(rowB["gx"], mode="drop")
         ggy = ggy.at[drop_to].add(rowB["gy"], mode="drop")
         ggz = ggz.at[drop_to].add(rowB["gz"], mode="drop")
@@ -1000,6 +1281,19 @@ def _mlevel_tail(
         ggy = ggy + recvC["gy"]
         ggz = ggz + recvC["gz"]
         gphi = gphi + recvC["gp"]
+
+    if axis is not None:
+        acc_x = lax.psum(acc_x, axis)
+        acc_y = lax.psum(acc_y, axis)
+        acc_z = lax.psum(acc_z, axis)
+        div_row = lax.psum(div_row, axis)
+        mu_row = lax.psum(mu_row, axis)
+        visc_row = lax.psum(visc_row, axis)
+        ggx = lax.psum(ggx, axis)
+        ggy = lax.psum(ggy, axis)
+        ggz = lax.psum(ggz, axis)
+        gphi = lax.psum(gphi, axis)
+        rows_ok = lax.psum(rows_ok.astype(jnp.int32), axis) == n_shards
 
     out = ReducedForces(
         acc=jnp.stack([acc_x, acc_y, acc_z], axis=1),

@@ -200,6 +200,64 @@ def plan_slabs(
     )
 
 
+def slab_plan_still_ok(
+    plan: SlabPlan,
+    pos_code: np.ndarray,
+    h: np.ndarray,
+    *,
+    edge_margin: float = 1.02,
+    budget_margin: float = 1.1,
+) -> bool:
+    """Compile-aware hysteresis forecast: can an ALREADY-COMPILED slab
+    geometry still certify on the current state? A slab compile costs
+    minutes (remote AOT) and plan_slabs re-derives grid/cap/budget from
+    the drifted state every chunk — so any cached plan that passes this
+    host-side check is reused instead (the in-engine collective
+    certificate remains the safety net; a wrong forecast costs a frozen
+    chunk + re-plan, never physics). Mirrors the in-engine checks of
+    make_slab_force_eval: frozen-domain inbox, mono-level cell-edge bound,
+    slot capacity, per-device ownership drift within the halo, and the
+    halo-exchange send budgets."""
+    pos_code = np.asarray(pos_code)
+    h = np.asarray(h)
+    n = pos_code.shape[0]
+    if plan.order.size < n or (plan.order >= 0).sum() != n:
+        return False
+    if float(np.abs(pos_code).max()) * (1.0 + 1e-6) >= plan.half:
+        return False
+    g = plan.grid
+    s = 2.0 * plan.half / g
+    if 2.0 * float(h.max()) * edge_margin > s:
+        return False
+    c = np.clip((pos_code + plan.half) // s, 0, g - 1).astype(np.int64)
+    cells = (c[:, 2] * g + c[:, 1]) * g + c[:, 0]
+    if int(np.bincount(cells, minlength=g**3).max()) > plan.cap:
+        return False
+    # ownership drift: each frozen-owner row must sit within its device's
+    # halo reach (the engine's drift_ok term)
+    z0s, H = plan.z0s, plan.halo
+    mask = plan.order >= 0
+    dev_of_row = np.repeat(np.arange(plan.n_dev), plan.n_loc)[mask]
+    zc = c[plan.order[mask], 2]
+    lo = z0s[dev_of_row] - H
+    hi = z0s[dev_of_row + 1] + H
+    if not bool(np.all((zc >= lo) & (zc < hi))):
+        return False
+    # halo send budgets (the engine's send_ok term), with margin
+    for r in range(1, plan.hops + 1):
+        for i in range(plan.n_dev):
+            own = dev_of_row == i
+            if i + r < plan.n_dev:
+                thr = z0s[i + r] - H - 2
+                if int(np.sum(own & (zc >= thr))) * budget_margin > plan.budget:
+                    return False
+            if i - r >= 0:
+                thr = z0s[i - r + 1] + H + 2
+                if int(np.sum(own & (zc < thr))) * budget_margin > plan.budget:
+                    return False
+    return True
+
+
 class SlabState(NamedTuple):
     """Chunk-local sharded state: (n_dev * n_loc) padded row layout."""
 

@@ -137,6 +137,75 @@ def test_golden_reference_snapshot():
         assert snap2["constants"] == c
 
 
+def test_golden_isothermal_snapshot():
+    """Isothermal layout fixture in the reference's exact style: the K
+    column exists in the header but every cell is empty (fastv1
+    SnapshotRW.jl:45 leaves df.K missing when K=nothing,
+    isothermal_sim.jl:274 passes no K), and the constants row carries the
+    isothermal dict (cs/U instead of gamma, iniconds.jl:655-671)."""
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "golden", "iso_1snap.csv")
+    snap = read_snapshot(path)
+    assert snap["K"] is None
+    assert snap["pos"].shape == (3, 3)
+    assert snap["pos"][0, 0] == 1.234567890123456e18
+    assert snap["vel"][2, 0] == 1.0e6 and snap["vel"][2, 1] == -1.5e7
+    c = snap["constants"]
+    assert c["cs"] == 18860.338169642963
+    assert c["U"] == 1.0613e42
+    assert isinstance(c["t"], int) and c["t"] == 0
+    assert c["M"] == 1.989e33
+    assert len(snap["rlin"]) == 5 and snap["rlin"][0] == -3.086e18
+
+
+def test_golden_pathological_floats(tmp_path):
+    """Float-edge fixture: negative zero, subnormals (5.0e-324 is the
+    smallest positive float64), DBL_MAX, NaN/Inf spelled the way Julia's
+    string() prints them, 64-bit ints above 2^53, and Julia's shortest
+    reprs with uncooperative last digits. Both the reader and a
+    write-then-reread round trip must preserve every bit."""
+    import os
+
+    path = os.path.join(
+        os.path.dirname(__file__), "golden", "pathological_1snap.csv"
+    )
+    snap = read_snapshot(path)
+    pos, vel, K = snap["pos"], snap["vel"], snap["K"]
+    assert pos[0, 0] == 0.0 and np.signbit(pos[0, 0])  # -0.0
+    assert pos[0, 1] == 5.0e-324  # min subnormal
+    assert pos[0, 2] == 1.7976931348623157e308  # DBL_MAX
+    assert vel[0, 0] == 2.5e-5
+    assert vel[0, 1] == -2.2250738585072014e-308  # -DBL_MIN (normal)
+    assert vel[0, 2] == 1.0000000000000002  # 1 + ulp
+    assert np.isnan(vel[1, 0])
+    assert np.isposinf(vel[1, 1]) and np.isneginf(vel[1, 2])
+    assert K[0] == 1.9999999999999998e27
+    assert K[1] == 4.9e-324  # parses to the same subnormal as 5.0e-324
+    assert pos[2, 0] == 123456.78900000001
+    assert pos[2, 2] == 9.999999999999999e15
+    assert vel[2, 1] == 0.0 and np.signbit(vel[2, 1])
+    assert np.isnan(snap["rho_radial"][0])
+
+    c = snap["constants"]
+    assert c["t"] == 1.7976931348623157e308
+    assert c["big"] == 9007199254740993 and isinstance(c["big"], int)
+    assert c["neg"] == -42 and isinstance(c["neg"], int)
+    assert c["tiny"] == 5.0e-324
+    assert c["iterID"] == 2147483647
+
+    p2 = write_snapshot(
+        "3", "pathological", pos, vel, K=K, constants=c,
+        rlin=snap["rlin"], rho_radial=snap["rho_radial"], root=str(tmp_path),
+    )
+    snap2 = read_snapshot(p2)
+    np.testing.assert_array_equal(snap2["pos"], pos)
+    np.testing.assert_array_equal(snap2["vel"], vel)
+    np.testing.assert_array_equal(snap2["K"], K)
+    assert np.signbit(snap2["pos"][0, 0]) and np.signbit(snap2["vel"][2, 1])
+    assert snap2["constants"]["big"] == 9007199254740993
+
+
 def test_stats_mmap_layout(tmp_path):
     """Stats file must be column-major on disk (Julia Matrix layout)."""
     path = str(tmp_path / "stats")

@@ -258,3 +258,41 @@ def test_mlevel_chunk_runner_and_hysteresis():
         alpha=1.0, beta=2.0, kh=kh, spec=spec,
     )
     assert bool(ok2)
+
+
+def test_mlevel_pallas_phase_a_matches_xla():
+    """The VMEM-resident Pallas phase A (kernels/pallas_strip_knn.py,
+    interpret mode on CPU) must reproduce the XLA strip path: identical
+    found h (both bisections converge to the same f32 fixed point),
+    density/forces to f32 reassociation roundoff, and the same
+    certificate."""
+    pos, vel, K, h0 = _two_scale()
+    n = pos.shape[0]
+    kh = 24
+    res = plan_mlevel(pos, h0, kh, gravity="exact")
+    assert res is not None
+    spec, args = res
+    f32 = jnp.float32
+    kw = dict(
+        eos="polytropic", gamma=f32(5 / 3), cs0=f32(0.0), alpha=f32(1.0),
+        beta=f32(2.0), kh=kh, spec=spec,
+    )
+    inp = (
+        jnp.asarray(pos, f32), jnp.asarray(vel, f32), f32(1.0 / n),
+        jnp.asarray(K, f32), jnp.asarray(h0, f32), _dev_args(args),
+    )
+    red1, gc1, ok1 = mlevel_sph_forces(*inp, **kw)
+    red2, gc2, ok2 = mlevel_sph_forces(
+        *inp, pallas_a=True, pallas_interpret=True, **kw
+    )
+    assert bool(ok1) and bool(ok2)
+    np.testing.assert_array_equal(np.asarray(red1.h), np.asarray(red2.h))
+    np.testing.assert_allclose(
+        np.asarray(red1.rho), np.asarray(red2.rho), rtol=3e-6
+    )
+    scale = float(np.abs(np.asarray(red1.acc)).max())
+    np.testing.assert_allclose(
+        np.asarray(red1.acc), np.asarray(red2.acc), atol=3e-6 * scale
+    )
+    for a, b in zip(gc1, gc2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -244,6 +244,33 @@ def test_sharded_cert_fail_freezes_state():
     )
 
 
+def test_slab_plan_hysteresis():
+    """slab_plan_still_ok (VERDICT r2 weak 7): a compiled slab geometry is
+    reused across chunks while the host forecast still certifies, and
+    rejected the moment the frozen domain / cell edge / ownership drift /
+    halo budgets are violated."""
+    from sphtpu.shard.tiles import slab_plan_still_ok
+
+    n, kh = 4096, 24
+    pos, vel, K, state = _sphere_state(n)
+    h0 = _h0(pos, kh)
+    plan = plan_slabs(pos, h0, kh, 4)
+    assert plan is not None
+    assert slab_plan_still_ok(plan, pos, h0)
+    # mild drift: still certifiable (this is the reuse case)
+    rng = np.random.default_rng(0)
+    drift = pos + 0.05 * np.min(h0) * rng.standard_normal(pos.shape)
+    assert slab_plan_still_ok(plan, drift, h0)
+    # escape of the frozen domain: rejected
+    assert not slab_plan_still_ok(plan, pos * 1.5, h0)
+    # h outgrowing the mono-level cell edge: rejected
+    assert not slab_plan_still_ok(plan, pos, h0 * 10.0)
+    # ownership torn up (rows teleported across slabs): rejected
+    flipped = pos.copy()
+    flipped[:, 2] = -flipped[:, 2]
+    assert not slab_plan_still_ok(plan, flipped, h0)
+
+
 def test_driver_multichip_end_to_end(tmp_path):
     """VERDICT r1 item 6: the multi-chip path is CLI-reachable — a full
     run_simulation on the 8-device virtual mesh steps through the sharded

@@ -291,7 +291,9 @@ def run_simulation(
         if c.mlevel is not None:
             levels, res_budget, _, nc = c.mlevel
             cost = sum(
-                (na + nb) * g * cap * 27.0 * cap for g, cap, na, nb in levels
+                (na_b + nb_b) * g * cb * 27.0 * cb
+                for g, cap, buckets in levels
+                for cb, na_b, nb_b in buckets
             )
             return cost + n * float(res_budget) * 2.0
         return float("inf")

@@ -78,7 +78,9 @@ def force_eval(
         # HBM break-even. The query-blocked kernel handles every
         # CAP_MENU capacity.
         prestack_ml = sum(
-            4 * na * g * 27 * cap * 4 for (g, cap, na, nb) in cfg.mlevel[0]
+            4 * na_b * g * 27 * cb * 4
+            for (g, cap, buckets) in cfg.mlevel[0]
+            for (cb, na_b, nb_b) in buckets
         )
         use_pallas_ml = (
             cfg.pallas_a

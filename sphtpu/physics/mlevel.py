@@ -104,6 +104,65 @@ _GRAZE_H_FACTOR = 1.25
 _GRAZE_POS_CELLS = 0.3
 
 
+def _occ_margin(cap: int) -> int:
+    """Occupancy drift headroom per sub-chunk: how many rows can
+    plausibly cross into one cell before the traced lists are refreshed
+    (measured on the collapse fixture: a handful per half-step at the
+    densest cells)."""
+    return max(4, cap // 16)
+
+
+def _opaque_forecast(occ, cap):
+    """Cells the engine might see as opaque during the sub-chunk. The
+    engine recomputes occupancy from the CURRENT positions every eval, so
+    a cell sitting at the cap boundary flips opaque when a few rows drift
+    in — measured on the collapse fixture: 2 cells flipped per half-step,
+    and 100% of the hard-regime cert failures were grazes against such
+    NEWLY-opaque cells (the distance/h cushions alone cannot see them).
+    The forecast therefore treats nearly-full cells as opaque when
+    graze-routing; the in-engine certificate stays exact."""
+    return occ > cap - _occ_margin(cap)
+
+
+def _strip_req_host(occ3, cap, g, *, forecast):
+    """(g*g,) per-strip sweep-capacity requirement: the max, over the
+    strip's 3x3 (z, x) neighborhood at every y, of per-cell occupancy —
+    the smallest bucket capacity whose slot slices lose no candidate a
+    sweep at this strip can reach. Opaque cells are excluded (the graze
+    certificates keep every certified query clear of their contents).
+
+    forecast=True upper-bounds the engine's exact check over one
+    sub-chunk of drift: non-opaque cells get the occupancy margin, and
+    boundary cells (within the margin of the cap, which may flip either
+    way) pin to the full level cap."""
+    m = _occ_margin(cap)
+    if forecast:
+        eff = np.where(occ3 > cap + m, 0, np.minimum(occ3 + m, cap))
+    else:
+        eff = np.where(occ3 > cap, 0, occ3)
+    col = eff.max(axis=1)  # (z, x): max over all y
+    colp = np.pad(col, 1)
+    req = np.zeros_like(col)
+    for dz in range(3):
+        for dx in range(3):
+            req = np.maximum(req, colp[dz : dz + g, dx : dx + g])
+    return req.reshape(-1)
+
+
+def _bucketize(ids, req, bucket_caps):
+    """Partition strip ids into len(bucket_caps) lists: each strip goes
+    to the smallest bucket whose capacity covers its requirement.
+    bucket_caps is ascending and ends at the level cap (req <= cap by
+    construction, so every strip lands somewhere)."""
+    out = []
+    lo = -1
+    for cb in bucket_caps:
+        r = req[ids]
+        out.append(ids[(r > lo) & (r <= cb)])
+        lo = cb
+    return out
+
+
 class MLArgs(NamedTuple):
     """Per-chunk traced arguments. Lengths/shapes are static (part of the
     compile key via MLSpec + N); contents are traced and refresh every
@@ -115,15 +174,19 @@ class MLArgs(NamedTuple):
     in-engine on FOUND values (r_k <= s_l, opacity clearance), and the
     residual lane is exact regardless of membership."""
 
-    act_a: tuple  # per level: (na_l,) int32, padded by repeating a valid id
-    act_b: tuple  # per level: (nb_l,) int32
+    act_a: tuple  # per level: per bucket: (na_b,) int32, sentinel-padded
+    act_b: tuple  # per level: per bucket: (nb_b,) int32
     act_c: jnp.ndarray | None  # (nc,) int32 strips at the mesh level (p3m)
     species: jnp.ndarray = None  # (N,) int32 in [0, L]; L = residual
 
 
 # MLSpec is carried inside EngineConfig as a plain nested tuple (hashable):
-#   ( ((grid, cap, na, nb), ...per level...),
+#   ( ((grid, cap, buckets), ...per level...),
 #     res_budget, mesh_level, nc )
+# buckets = ((cap_b, na_b, nb_b), ...) ascending, ending at cap: per-strip
+# capacity classes — a strip whose reachable stencil cells fit cap_b slots
+# sweeps (cap_b)^2 pair slots instead of cap^2 (the level cap only shapes
+# the slot planes and the scatter targets).
 # mesh_level = -1 for exact gravity; nc = 0 then.
 
 
@@ -285,7 +348,8 @@ def plan_mlevel(
     Returns (spec_tuple, MLArgs-as-numpy dict) or None when no feasible
     multi-level configuration exists (caller keeps mono-level/gather).
     spec_tuple = (levels, res_budget, mesh_level, nc) with
-    levels = ((grid, cap, na, nb), ...).
+    levels = ((grid, cap, ((cap_b, na_b, nb_b), ...)), ...) — per-strip
+    capacity buckets, smallest feasible class per strip.
 
     shards > 1 sizes every active list and the residual budget to a
     multiple of `shards`, so the sharded engine (sphtpu.shard.mlevel) can
@@ -403,8 +467,11 @@ def _plan_for_grids(
             need = 32
         if l == 0 and gravity == "p3m":
             # phase C (geometric mesh-tail pass) runs on level 0 and
-            # needs every particle present: no opaque cells allowed
-            need = float(occ[0].max())
+            # needs every particle present: no opaque cells allowed —
+            # with occupancy-drift headroom (a max-occupancy cell must
+            # not flip opaque mid-chunk; see _opaque_forecast)
+            mx = int(occ[0].max())
+            need = float(mx + max(4, mx // 16))
         cap = _snap_up(CAP_MENU, int(need))
         if cap > cap_max:
             if l == 0 and gravity == "p3m":
@@ -416,7 +483,7 @@ def _plan_for_grids(
     # only shrink the species sets)
     res = sp == len(grids)
     for l, (g, cap) in enumerate(zip(grids, caps)):
-        opaque3 = occ[l] > cap
+        opaque3 = _opaque_forecast(occ[l], cap)
         rows = np.flatnonzero(sp == l)
         rcut = _graze_rcut(h[rows], s_edges[l])
         gz = _graze(pos_code, half, rows, rcut, cells[l], opaque3, s_edges[l], g)
@@ -442,22 +509,49 @@ def _plan_for_grids(
             return None
 
     levels = []
-    acts_a, acts_b, nonempties = [], [], []
+    acts_a, acts_b, nonempties, reqs = [], [], [], []
     cost = 0.0
     for l, (g, cap) in enumerate(zip(grids, caps)):
         if g**3 * cap > slots_max:
             return None
         act_a, act_b, nonempty = _strip_sets(cells[l], sp == l, g)
-        na = min(_ceil_to(int(act_a.size * act_slack), gran), _ceil_to(g * g, gran))
-        nb = min(_ceil_to(int(act_b.size * act_slack), gran), _ceil_to(g * g, gran))
-        if act_a.size == 0:
-            na = nb = gran  # keep the level alive for drift
-        levels.append((g, cap, na, nb))
+        req = _strip_req_host(occ[l], cap, g, forecast=True)
+
+        def list_len(count):
+            return max(
+                min(
+                    _ceil_to(int(count * act_slack), gran),
+                    _ceil_to(g * g, gran),
+                ),
+                gran,
+            )
+
+        # per-strip capacity buckets: a strip whose stencil occupancy
+        # fits a smaller capacity sweeps (cap_b)^2 pair slots instead of
+        # cap^2 — measured 3x fewer pair slots on the collapse fixture.
+        # Try single-bucket and every (small, cap) split; cost arbitrates.
+        best = None
+        for opt in [(cap,)] + [
+            (cb, cap) for cb in CAP_MENU if cb < cap
+        ]:
+            bks = []
+            c_cost = 0.0
+            a_parts = _bucketize(act_a, req, opt)
+            b_parts = _bucketize(act_b, req, opt)
+            for cb, ap, bp in zip(opt, a_parts, b_parts):
+                na_b = list_len(ap.size)
+                nb_b = list_len(bp.size)
+                bks.append((cb, na_b, nb_b))
+                c_cost += na_b * g * cb * 27 * cb * _OPS_A
+                c_cost += nb_b * g * cb * 27 * cb * _OPS_B
+            if best is None or c_cost < best[0]:
+                best = (c_cost, tuple(bks))
+        levels.append((g, cap, best[1]))
         acts_a.append(act_a)
         acts_b.append(act_b)
         nonempties.append(nonempty)
-        cost += na * g * cap * 27 * cap * _OPS_A
-        cost += nb * g * cap * 27 * cap * _OPS_B
+        reqs.append(req)
+        cost += best[0]
     cost += float(n_res) * n * _OPS_RES
 
     mesh_level = -1
@@ -475,20 +569,27 @@ def _plan_for_grids(
         cost += nc * gml * capml * 125 * capml * _OPS_C
 
     spec = (tuple(levels), res_budget, mesh_level, nc)
-    args = _args_for_spec(spec, acts_a, acts_b, nonempties, sp)
+    args = _args_for_spec(spec, acts_a, acts_b, nonempties, sp, reqs)
     if args is None:
         return None
     return cost, spec, args
 
 
-def _args_for_spec(spec, acts_a, acts_b, nonempties, species):
+def _args_for_spec(spec, acts_a, acts_b, nonempties, species, reqs):
     levels, res_budget, mesh_level, nc = spec
     pa, pb = [], []
-    for (g, cap, na, nb), aa, ab in zip(levels, acts_a, acts_b):
-        if aa.size > na or ab.size > nb:
-            return None
-        pa.append(_pad_act(aa, na, g * g))
-        pb.append(_pad_act(ab, nb, g * g))
+    for (g, cap, buckets), aa, ab, req in zip(levels, acts_a, acts_b, reqs):
+        bucket_caps = [bk[0] for bk in buckets]
+        a_parts = _bucketize(aa, req, bucket_caps)
+        b_parts = _bucketize(ab, req, bucket_caps)
+        la, lb = [], []
+        for (cb, na_b, nb_b), ap, bp in zip(buckets, a_parts, b_parts):
+            if ap.size > na_b or bp.size > nb_b:
+                return None
+            la.append(_pad_act(ap, na_b, g * g))
+            lb.append(_pad_act(bp, nb_b, g * g))
+        pa.append(tuple(la))
+        pb.append(tuple(lb))
     ac = None
     if mesh_level >= 0:
         ne = nonempties[mesh_level]
@@ -518,7 +619,7 @@ def mlevel_args_still_ok(pos_code, h, spec):
     )
     res = sp == len(grids)
     for l, (g, cap) in enumerate(zip(grids, caps)):
-        opaque3 = occ[l] > cap
+        opaque3 = _opaque_forecast(occ[l], cap)
         rows = np.flatnonzero(sp == l)
         rcut = _graze_rcut(h[rows], s_edges[l])
         gz = _graze(pos_code, half, rows, rcut, cells[l], opaque3, s_edges[l], g)
@@ -526,7 +627,11 @@ def mlevel_args_still_ok(pos_code, h, spec):
         sp[rows[gz]] = len(grids)
     if int(res.sum()) > res_budget:
         return None
-    acts_a, acts_b, nonempties = [], [], []
+    if mesh_level == 0 and _opaque_forecast(occ[0], caps[0]).any():
+        # p3m phase C needs level 0 opaque-free; a max-occupancy cell
+        # within drift headroom of the cap could flip opaque mid-chunk
+        return None
+    acts_a, acts_b, nonempties, reqs = [], [], [], []
     for l, (g, cap) in enumerate(zip(grids, caps)):
         rows_l = sp == l
         if rows_l.any():
@@ -540,7 +645,8 @@ def mlevel_args_still_ok(pos_code, h, spec):
         acts_a.append(aa)
         acts_b.append(ab)
         nonempties.append(ne)
-    return _args_for_spec(spec, acts_a, acts_b, nonempties, sp)
+        reqs.append(_strip_req_host(occ[l], cap, g, forecast=True))
+    return _args_for_spec(spec, acts_a, acts_b, nonempties, sp, reqs)
 
 
 # ---------------------------------------------------------------------------
@@ -586,6 +692,33 @@ def _strip_views(planes, t, g, cap, depth):
         ).reshape(1, g, depth * depth * depth * cap)
         outs.append((q, cands))
     return outs
+
+
+def _scatter_strips_into(grid, vals, act, g, cap, cap_b):
+    """Scatter lax.map-stacked bucket outputs (na_b, 1, g, cap_b) into a
+    (g, g, g*cap) level grid (first cap_b slots of each cell). Sentinel
+    ids (g*g) scatter out of bounds and drop; buckets partition the
+    strips, so sequential bucket scatters never collide."""
+    z = act // g
+    x = act % g
+    iy = jnp.arange(g)
+    ic = jnp.arange(cap_b)
+    return grid.at[
+        z[:, None, None],
+        iy[None, :, None],
+        x[:, None, None] * cap + ic[None, None, :],
+    ].set(vals[:, 0])
+
+
+def _cap_view(P, g, cap, cap_b):
+    """Slot-sliced plane view: the first cap_b slots of every cell.
+    Valid for a bucket's strips by the bucket-capacity certificate
+    (their reachable cells fit cap_b slots)."""
+    if cap_b == cap:
+        return P
+    return P.reshape(g + 2, g + 2, g + 2, cap)[..., :cap_b].reshape(
+        g + 2, g + 2, (g + 2) * cap_b
+    )
 
 
 def _bisect_rk(d2m, kf, hi0, lo0, passes, dtype):
@@ -717,7 +850,7 @@ def mlevel_sph_forces(
     # ---- per-level binning (species-priority slots) + coverage certs ----
     binfo = []
     cov_ok = jnp.asarray(True)
-    for l, (g, cap, na, nb) in enumerate(levels):
+    for l, (g, cap, buckets) in enumerate(levels):
         s = s_l[l]
         c = jnp.clip(jnp.floor((pos + half) / s).astype(jnp.int32), 0, g - 1)
         cell = (c[:, 2] * g + c[:, 1]) * g + c[:, 0]
@@ -739,11 +872,14 @@ def mlevel_sph_forces(
             cov_ok = cov_ok & ~jnp.any(opaque)  # phase C needs everyone
 
         # strip coverage: species-l strips in act_a; their one-cell
-        # dilation (nonempty) in act_b
+        # dilation (nonempty) in act_b — provision is the UNION of the
+        # level's bucket lists
         sid = c[:, 2] * g + c[:, 0]
         is_l = (species == l).astype(jnp.int32)
+        all_a = jnp.concatenate(mlargs.act_a[l])
+        all_b = jnp.concatenate(mlargs.act_b[l])
         need_a = jnp.zeros((g * g,), jnp.int32).at[sid].max(is_l)
-        prov_a = jnp.zeros((g * g,), jnp.int32).at[mlargs.act_a[l]].set(1)
+        prov_a = jnp.zeros((g * g,), jnp.int32).at[all_a].set(1)
         src2d = jnp.zeros((g, g), jnp.int32).at[c[:, 2], c[:, 0]].max(is_l)
         ne2d = jnp.zeros((g, g), jnp.int32).at[c[:, 2], c[:, 0]].set(1)
         pad2d = jnp.pad(src2d, 1)
@@ -752,8 +888,31 @@ def mlevel_sph_forces(
             for dx in range(3):
                 dil = jnp.maximum(dil, pad2d[dz : dz + g, dx : dx + g])
         need_b = (dil * ne2d).reshape(-1)
-        prov_b = jnp.zeros((g * g,), jnp.int32).at[mlargs.act_b[l]].set(1)
+        prov_b = jnp.zeros((g * g,), jnp.int32).at[all_b].set(1)
         cov_ok = cov_ok & ~jnp.any(need_a > prov_a) & ~jnp.any(need_b > prov_b)
+
+        # bucket-capacity certificate: a strip swept at capacity cap_b
+        # must have every NON-opaque cell of its 3x3 stencil (all y)
+        # within cap_b slots — the sliced planes then lose no reachable
+        # candidate (opaque cells are excluded: graze certs keep
+        # certified queries clear of their contents). The top bucket
+        # (cap_b == cap) passes by construction.
+        occ_eff = jnp.where(opaque, 0, occ.reshape(g, g, g))
+        col = occ_eff.max(axis=1)
+        colp = jnp.pad(col, 1)
+        req2d = jnp.zeros((g, g), jnp.int32)
+        for dz in range(3):
+            for dx in range(3):
+                req2d = jnp.maximum(req2d, colp[dz : dz + g, dx : dx + g])
+        req_pad = jnp.concatenate(
+            [req2d.reshape(-1), jnp.zeros((1,), jnp.int32)]
+        )  # sentinel id g*g -> 0 (always passes)
+        for (cb, _, _), a_ids, b_ids in zip(
+            buckets, mlargs.act_a[l], mlargs.act_b[l]
+        ):
+            if cb < cap:
+                cov_ok = cov_ok & jnp.all(req_pad[a_ids] <= cb)
+                cov_ok = cov_ok & jnp.all(req_pad[b_ids] <= cb)
         if mesh_level == 0 and l == 0:
             prov_c = jnp.zeros((g * g,), jnp.int32).at[mlargs.act_c].set(1)
             cov_ok = cov_ok & ~jnp.any(ne2d.reshape(-1) > prov_c)
@@ -777,18 +936,18 @@ def mlevel_sph_forces(
                           slots=(pz, py, px), s=s))
 
     def to_plane(l, v, fill=0.0):
-        g, cap, _, _ = levels[l]
+        g, cap, _ = levels[l]
         pz, py, px = binfo[l]["slots"]
         return jnp.full(((g + 2), (g + 2), (g + 2) * cap), fill, dtype).at[
             pz, py, px
         ].set(v.astype(dtype), mode="drop")
 
-    # ---- phase A per level: exact r_kh + rho for species-l rows ----
+    # ---- phase A per level x bucket: exact r_kh + rho for species-l rows
     Hrow = jnp.zeros((n,), dtype)
     RHOrow = jnp.zeros((n,), dtype)
     rows_ok = cov_ok & res_ok
     a_planes = []
-    for l, (g, cap, na, nb) in enumerate(levels):
+    for l, (g, cap, buckets) in enumerate(levels):
         X = to_plane(l, pos[:, 0])
         Y = to_plane(l, pos[:, 1])
         Z = to_plane(l, pos[:, 2])
@@ -796,148 +955,161 @@ def mlevel_sph_forces(
         SPECP = to_plane(l, spec_f, fill=-1.0)
         a_planes.append((X, Y, Z, MASK, SPECP))
         s = s_l[l]
+        QML = to_plane(l, (species == l).astype(dtype))
+        Hg = jnp.zeros((g, g, g * cap), dtype)
+        RHOg = jnp.zeros((g, g, g * cap), dtype)
+        OKg = jnp.ones((g, g, g * cap), dtype)
 
-        def phase_a(t, g=g, cap=cap, s=s, X=X, Y=Y, Z=Z, MASK=MASK,
-                    SPECP=SPECP, l=l):
-            (qx, cx), (qy, cy), (qz, cz), (qm, cm), (qs, _) = _strip_views(
-                (X, Y, Z, MASK, SPECP), t, g, cap, 3
-            )
-            dx = qx[..., None] - cx[:, :, None, :]
-            dy = qy[..., None] - cy[:, :, None, :]
-            dz = qz[..., None] - cz[:, :, None, :]
-            d2 = dx * dx + dy * dy + dz * dz
-            valid = (cm[:, :, None, :] > 0) & (qm[..., None] > 0)
-            d2m = jnp.where(valid, d2, big)
-            # per-query GUARANTEED search reach: the 3^3 stencil covers
-            # any radius up to s + (distance from the query to its own
-            # cell's nearest face) — exactly s for a corner-sitting row,
-            # up to 1.5 s mid-cell. Certifying against this reach instead
-            # of a uniform s gives most rows free headroom against h
-            # drift within a sub-chunk (same exactness: everything within
-            # reach is provably present in the stencil).
-            zt0 = (t // g).astype(jnp.int32)
-            xt0 = (t % g).astype(jnp.int32)
-            lox = xt0.astype(dtype) * s - half
-            loz = zt0.astype(dtype) * s - half
-            loy = (
-                jnp.arange(g, dtype=dtype)[None, :, None] * s - half
-            )
-            face = jnp.minimum(
-                jnp.minimum(qx - lox, lox + s - qx),
-                jnp.minimum(
-                    jnp.minimum(qy - loy, loy + s - qy),
-                    jnp.minimum(qz - loz, loz + s - qz),
-                ),
-            )
-            reach = s + jnp.clip(face, 0.0, 0.5 * s)
-            reach2 = reach * reach
-            hi0 = 1.001 * reach2
-            lo0 = jnp.zeros(qm.shape, dtype)
-            rk2, nfound = _bisect_rk(d2m, kf, hi0, lo0, 17, dtype)
-            h_t = jnp.sqrt(rk2) / 2.0
-            h_safe = jnp.where(h_t > 0, h_t, 1.0)
-            w_k = W(jnp.sqrt(d2) / h_safe[..., None], h_safe[..., None])
-            rho_t = m * jnp.sum(
-                jnp.where(valid & (d2m <= rk2[..., None]), w_k, 0.0), axis=-1
-            )
-            row_ok = (
-                (qm <= 0)
-                | (qs != l)
-                | ((nfound >= kh) & (rk2 <= reach2))
-            )
-            if _MLDEBUG:
-                qmask = (qm > 0) & (qs == l)
-                return (
-                    h_t, rho_t, row_ok.astype(dtype),
-                    jnp.sum(qmask & (nfound < kh)),
-                    jnp.sum(qmask & (rk2 > reach2)),
+        for bi, (cap_b, na_b, nb_b) in enumerate(buckets):
+            Xb = _cap_view(X, g, cap, cap_b)
+            Yb = _cap_view(Y, g, cap, cap_b)
+            Zb = _cap_view(Z, g, cap, cap_b)
+            MASKb = _cap_view(MASK, g, cap, cap_b)
+            SPECPb = _cap_view(SPECP, g, cap, cap_b)
+
+            def phase_a(t, g=g, cap=cap_b, s=s, X=Xb, Y=Yb, Z=Zb, MASK=MASKb,
+                        SPECP=SPECPb, l=l):
+                (qx, cx), (qy, cy), (qz, cz), (qm, cm), (qs, _) = _strip_views(
+                    (X, Y, Z, MASK, SPECP), t, g, cap, 3
                 )
-            return h_t, rho_t, row_ok.astype(dtype)
-
-        act_a_l = shard_ids(mlargs.act_a[l])
-        if pallas_a and not _MLDEBUG:
-            # VMEM-resident phase A (kernels/pallas_strip_knn.py): the
-            # active strips' cells are pre-stacked as (n_cells, 27*cap)
-            # candidate rows so d2 is computed once on-chip instead of
-            # re-streamed from HBM per bisection pass. The stack is built
-            # from 27 shifted whole-plane SLICES (HBM-speed copies) plus
-            # ONE strip-granular take — cell-granular index gathers
-            # measured 2.4 s/eval on the TPU, 360 KB-row takes are DMA
-            # speed. Sentinel strip ids (g*g) clamp to a real strip;
-            # their outputs are dropped at the scatter, exactly like the
-            # XLA path.
-            from ..kernels.pallas_strip_knn import phase_a_cells
-
-            na_l = act_a_l.shape[0]
-            act_cl = jnp.clip(act_a_l, 0, g * g - 1)
-
-            def strips27(P):
-                parts = [
-                    lax.slice(
-                        P,
-                        (dz, dy, dxs * cap),
-                        (dz + g, dy + g, (dxs + g) * cap),
-                    ).reshape(g, g, g, cap)
-                    for dz in range(3)
-                    for dy in range(3)
-                    for dxs in range(3)
-                ]
-                # (z, y, x, 27, cap) -> strips (z*g+x, y, 27*cap)
-                st = jnp.stack(parts, axis=3)
-                st = st.transpose(0, 2, 1, 3, 4).reshape(
-                    g * g, g, 27 * cap
+                dx = qx[..., None] - cx[:, :, None, :]
+                dy = qy[..., None] - cy[:, :, None, :]
+                dz = qz[..., None] - cz[:, :, None, :]
+                d2 = dx * dx + dy * dy + dz * dz
+                valid = (cm[:, :, None, :] > 0) & (qm[..., None] > 0)
+                d2m = jnp.where(valid, d2, big)
+                # per-query GUARANTEED search reach: the 3^3 stencil covers
+                # any radius up to s + (distance from the query to its own
+                # cell's nearest face) — exactly s for a corner-sitting row,
+                # up to 1.5 s mid-cell. Certifying against this reach instead
+                # of a uniform s gives most rows free headroom against h
+                # drift within a sub-chunk (same exactness: everything within
+                # reach is provably present in the stencil).
+                zt0 = (t // g).astype(jnp.int32)
+                xt0 = (t % g).astype(jnp.int32)
+                lox = xt0.astype(dtype) * s - half
+                loz = zt0.astype(dtype) * s - half
+                loy = (
+                    jnp.arange(g, dtype=dtype)[None, :, None] * s - half
                 )
-                return jnp.take(st, act_cl, axis=0).reshape(
-                    na_l * g, 27 * cap
+                face = jnp.minimum(
+                    jnp.minimum(qx - lox, lox + s - qx),
+                    jnp.minimum(
+                        jnp.minimum(qy - loy, loy + s - qy),
+                        jnp.minimum(qz - loz, loz + s - qz),
+                    ),
                 )
+                reach = s + jnp.clip(face, 0.0, 0.5 * s)
+                reach2 = reach * reach
+                hi0 = 1.001 * reach2
+                lo0 = jnp.zeros(qm.shape, dtype)
+                rk2, nfound = _bisect_rk(d2m, kf, hi0, lo0, 17, dtype)
+                h_t = jnp.sqrt(rk2) / 2.0
+                h_safe = jnp.where(h_t > 0, h_t, 1.0)
+                w_k = W(jnp.sqrt(d2) / h_safe[..., None], h_safe[..., None])
+                rho_t = m * jnp.sum(
+                    jnp.where(valid & (d2m <= rk2[..., None]), w_k, 0.0), axis=-1
+                )
+                row_ok = (
+                    (qm <= 0)
+                    | (qs != l)
+                    | ((nfound >= kh) & (rk2 <= reach2))
+                )
+                if _MLDEBUG:
+                    qmask = (qm > 0) & (qs == l)
+                    return (
+                        h_t, rho_t, row_ok.astype(dtype),
+                        jnp.sum(qmask & (nfound < kh)),
+                        jnp.sum(qmask & (rk2 > reach2)),
+                    )
+                return h_t, rho_t, row_ok.astype(dtype)
 
-            def stripsq(P):
-                q = lax.slice(
-                    P, (1, 1, cap), (1 + g, 1 + g, (1 + g) * cap)
-                ).reshape(g, g, g, cap)
-                q = q.transpose(0, 2, 1, 3).reshape(g * g, g, cap)
-                return jnp.take(q, act_cl, axis=0).reshape(na_l * g, cap)
+            act_a_l = shard_ids(mlargs.act_a[l][bi])
+            if pallas_a and not _MLDEBUG:
+                # VMEM-resident phase A (kernels/pallas_strip_knn.py): the
+                # active strips' cells are pre-stacked as (n_cells, 27*cap_b)
+                # candidate rows so d2 is computed once on-chip instead of
+                # re-streamed from HBM per bisection pass. The stack is built
+                # from 27 shifted whole-plane SLICES (HBM-speed copies) plus
+                # ONE strip-granular take — cell-granular index gathers
+                # measured 2.4 s/eval on the TPU, 360 KB-row takes are DMA
+                # speed. Sentinel strip ids (g*g) clamp to a real strip;
+                # their outputs are dropped at the scatter, exactly like the
+                # XLA path.
+                from ..kernels.pallas_strip_knn import phase_a_cells
 
-            QML = to_plane(l, (species == l).astype(dtype))
-            qxc, qyc, qzc = stripsq(X), stripsq(Y), stripsq(Z)
-            qmc = stripsq(QML)
-            zi = jnp.repeat((act_cl // g).astype(jnp.int32), g)[:, None]
-            xi = jnp.repeat((act_cl % g).astype(jnp.int32), g)[:, None]
-            yi = jnp.tile(jnp.arange(g, dtype=jnp.int32), na_l)[:, None]
-            lox = xi.astype(dtype) * s - half
-            loy = yi.astype(dtype) * s - half
-            loz = zi.astype(dtype) * s - half
-            face = jnp.minimum(
-                jnp.minimum(qxc - lox, lox + s - qxc),
-                jnp.minimum(
-                    jnp.minimum(qyc - loy, loy + s - qyc),
-                    jnp.minimum(qzc - loz, loz + s - qzc),
-                ),
-            )
-            reach = s + jnp.clip(face, 0.0, 0.5 * s)
-            h_c, rho_c, ok_c = phase_a_cells(
-                (qxc, qyc, qzc, qmc),
-                reach * reach,
-                (strips27(X), strips27(Y), strips27(Z), strips27(MASK)),
-                m,
-                kh=kh,
-                cap=cap,
-                interpret=pallas_interpret,
-            )
-            h_st = h_c.reshape(na_l, 1, g, cap)
-            rho_st = rho_c.reshape(na_l, 1, g, cap)
-            ok_st = ok_c.reshape(na_l, 1, g, cap)
-        elif _MLDEBUG:
-            h_st, rho_st, ok_st, f_k, f_s = lax.map(phase_a, act_a_l)
-            jax.debug.print(
-                "MLDEBUG L{l} rows: kh_short={k} rk_gt_reach={s}",
-                l=l, k=jnp.sum(f_k), s=jnp.sum(f_s),
-            )
-        else:
-            h_st, rho_st, ok_st = lax.map(phase_a, act_a_l)
-        Hg = _scatter_strips(h_st, act_a_l, g, cap, 0.0, dtype)
-        RHOg = _scatter_strips(rho_st, act_a_l, g, cap, 0.0, dtype)
-        OKg = _scatter_strips(ok_st, act_a_l, g, cap, 1.0, dtype)
+                na_l = act_a_l.shape[0]
+                act_cl = jnp.clip(act_a_l, 0, g * g - 1)
+
+                def strips27(P):
+                    parts = [
+                        lax.slice(
+                            P,
+                            (dz, dy, dxs * cap_b),
+                            (dz + g, dy + g, (dxs + g) * cap_b),
+                        ).reshape(g, g, g, cap_b)
+                        for dz in range(3)
+                        for dy in range(3)
+                        for dxs in range(3)
+                    ]
+                    # (z, y, x, 27, cap_b) -> strips (z*g+x, y, 27*cap_b)
+                    st = jnp.stack(parts, axis=3)
+                    st = st.transpose(0, 2, 1, 3, 4).reshape(
+                        g * g, g, 27 * cap_b
+                    )
+                    return jnp.take(st, act_cl, axis=0).reshape(
+                        na_l * g, 27 * cap_b
+                    )
+
+                def stripsq(P):
+                    q = lax.slice(
+                        P, (1, 1, cap_b), (1 + g, 1 + g, (1 + g) * cap_b)
+                    ).reshape(g, g, g, cap_b)
+                    q = q.transpose(0, 2, 1, 3).reshape(g * g, g, cap_b)
+                    return jnp.take(q, act_cl, axis=0).reshape(na_l * g, cap_b)
+
+                QMLb = _cap_view(QML, g, cap, cap_b)
+                qxc, qyc, qzc = stripsq(Xb), stripsq(Yb), stripsq(Zb)
+                qmc = stripsq(QMLb)
+                zi = jnp.repeat((act_cl // g).astype(jnp.int32), g)[:, None]
+                xi = jnp.repeat((act_cl % g).astype(jnp.int32), g)[:, None]
+                yi = jnp.tile(jnp.arange(g, dtype=jnp.int32), na_l)[:, None]
+                lox = xi.astype(dtype) * s - half
+                loy = yi.astype(dtype) * s - half
+                loz = zi.astype(dtype) * s - half
+                face = jnp.minimum(
+                    jnp.minimum(qxc - lox, lox + s - qxc),
+                    jnp.minimum(
+                        jnp.minimum(qyc - loy, loy + s - qyc),
+                        jnp.minimum(qzc - loz, loz + s - qzc),
+                    ),
+                )
+                reach = s + jnp.clip(face, 0.0, 0.5 * s)
+                h_c, rho_c, ok_c = phase_a_cells(
+                    (qxc, qyc, qzc, qmc),
+                    reach * reach,
+                    (strips27(Xb), strips27(Yb), strips27(Zb), strips27(MASKb)),
+                    m,
+                    kh=kh,
+                    cap=cap_b,
+                    interpret=pallas_interpret,
+                )
+                h_st = h_c.reshape(na_l, 1, g, cap_b)
+                rho_st = rho_c.reshape(na_l, 1, g, cap_b)
+                ok_st = ok_c.reshape(na_l, 1, g, cap_b)
+            elif _MLDEBUG:
+                h_st, rho_st, ok_st, f_k, f_s = lax.map(
+                    phase_a, act_a_l, batch_size=8
+                )
+                jax.debug.print(
+                    "MLDEBUG L{l} b{b} rows: kh_short={k} rk_gt_reach={s}",
+                    l=l, b=bi, k=jnp.sum(f_k), s=jnp.sum(f_s),
+                )
+            else:
+                h_st, rho_st, ok_st = lax.map(phase_a, act_a_l, batch_size=8)
+            Hg = _scatter_strips_into(Hg, h_st, act_a_l, g, cap, cap_b)
+            RHOg = _scatter_strips_into(RHOg, rho_st, act_a_l, g, cap, cap_b)
+            OKg = _scatter_strips_into(OKg, ok_st, act_a_l, g, cap, cap_b)
         rows_ok = rows_ok & jnp.all(OKg > 0)
         c = binfo[l]["c"]
         rank = binfo[l]["rank"]
@@ -1051,7 +1223,7 @@ def _mlevel_tail(
     ggz = jnp.zeros((n,), dtype)
     gphi = jnp.zeros((n,), dtype)
 
-    for l, (g, cap, na, nb) in enumerate(levels):
+    for l, (g, cap, buckets) in enumerate(levels):
         X, Y, Z, MASK, SPECP = a_planes[l]
         pz, py, px = binfo[l]["slots"]
 
@@ -1068,10 +1240,12 @@ def _mlevel_tail(
         RHOp = to_plane(RHOrow)
         POR2p = to_plane(por2_row)
         CSp = to_plane(cs_row)
-
-        def phase_b(t, g=g, cap=cap, l=l, planes=(
+        level_planes = (
             X, Y, Z, VX, VY, VZ, MASK, SPECP, Hp, RK2p, RHOp, POR2p, CSp
-        )):
+        )
+        grids = [jnp.zeros((g, g, g * cap), dtype) for _ in range(10)]
+
+        def phase_b(t, g, cap, l, planes):
             views = _strip_views(planes, t, g, cap, 3)
             (qx, cx), (qy, cy), (qz, cz) = views[0:3]
             (qvx, cvx), (qvy, cvy), (qvz, cvz) = views[3:6]
@@ -1150,12 +1324,22 @@ def _mlevel_tail(
             gp_t = m * jnp.sum(cpp, axis=-1)
             return (ax, ay, az, div_t, mu_max_t, visc_t, gx_t, gy_t, gz_t, gp_t)
 
-        act_b_l = shard_ids(mlargs.act_b[l])
-        outs = lax.map(phase_b, act_b_l)
-        grids = [
-            _scatter_strips(o, act_b_l, g, cap, 0.0, dtype)
-            for o in outs
-        ]
+        for bi, (cap_b, na_b, nb_b) in enumerate(buckets):
+            planes_b = tuple(
+                _cap_view(P, g, cap, cap_b) for P in level_planes
+            )
+            act_b_l = shard_ids(mlargs.act_b[l][bi])
+            outs = lax.map(
+                functools.partial(
+                    phase_b, g=g, cap=cap_b, l=l, planes=planes_b
+                ),
+                act_b_l,
+                batch_size=8,
+            )
+            for gi, o in enumerate(outs):
+                grids[gi] = _scatter_strips_into(
+                    grids[gi], o, act_b_l, g, cap, cap_b
+                )
         c = binfo[l]["c"]
         rank = binfo[l]["rank"]
         ix = c[:, 0] * cap + jnp.minimum(rank, cap - 1)
@@ -1219,7 +1403,7 @@ def _mlevel_tail(
             )
 
         act_c_s = shard_ids(mlargs.act_c)
-        outs_c = lax.map(phase_c, act_c_s)
+        outs_c = lax.map(phase_c, act_c_s, batch_size=8)
         ix0 = c0[:, 0] * cap0 + jnp.minimum(rank0, cap0 - 1)
         for o, tgt in zip(outs_c, ("x", "y", "z", "p")):
             gr = _scatter_strips(o, act_c_s, g0, cap0, 0.0, dtype)
@@ -1407,6 +1591,7 @@ def _res_knn(pos, rsafe, rvalid, h_hint_r, m, kh, *, block=2048, row_block=256):
             qp.reshape(Bp // row_block, row_block, 3),
             hip.reshape(Bp // row_block, row_block),
         ),
+        batch_size=4,
     )
     return (
         rk2.reshape(Bp)[:B],
@@ -1554,6 +1739,7 @@ def _res_forces(
             rpad(cs_q).reshape(Bp // row_block, row_block),
             rpad(rk2_res).reshape(Bp // row_block, row_block),
         ),
+        batch_size=4,
     )
     names = ("ax", "ay", "az", "div", "mu", "visc", "gx", "gy", "gz", "gp")
     rowB = {k: v.reshape(Bp)[:B] for k, v in zip(names, outs)}
@@ -1656,6 +1842,7 @@ def _res_forces(
             rvpad(cs_all).reshape(nrp // recv_block, recv_block),
             rvpad(nonres).reshape(nrp // recv_block, recv_block),
         ),
+        batch_size=4,
     )
     cnames = ("ax", "ay", "az", "visc", "gx", "gy", "gz", "gp")
     recvC = {k: v.reshape(nrp)[:n] for k, v in zip(cnames, outs_c)}

@@ -209,6 +209,7 @@ def outlier_gravity_corr(
             hp.reshape(nb // block, block),
             cellp.reshape(nb // block, block, 3),
         ),
+        batch_size=4,
     )
     dg = jnp.stack(
         [gx.reshape(nb)[:n], gy.reshape(nb)[:n], gz.reshape(nb)[:n]], axis=1

@@ -462,7 +462,9 @@ def tile_sph_forces(
         RHOg = rho_cells.reshape(g, g, g * cap)
         OKg = ok_cells.reshape(g, g, g * cap)
     else:
-        h_tiles, rho_tiles, ok_tiles = lax.map(phase_a, jnp.arange(n_tiles))
+        h_tiles, rho_tiles, ok_tiles = lax.map(
+            phase_a, jnp.arange(n_tiles), batch_size=8
+        )
         Hg = assemble(h_tiles)
         RHOg = assemble(rho_tiles)
         OKg = assemble(ok_tiles)
@@ -612,7 +614,7 @@ def tile_sph_forces(
                 gphi_t)
 
     (ax_t, ay_t, az_t, div_t, mumax_t, visc_t, ggx_t, ggy_t, ggz_t,
-     gphi_t) = lax.map(phase_b, jnp.arange(n_tiles))
+     gphi_t) = lax.map(phase_b, jnp.arange(n_tiles), batch_size=8)
     GXg, GYg, GZg, GPg = (
         assemble(ggx_t), assemble(ggy_t), assemble(ggz_t),
         assemble(gphi_t),
@@ -693,7 +695,9 @@ def tile_sph_forces(
                 m * jnp.sum(cpp, axis=-1),
             )
 
-        cgx_t, cgy_t, cgz_t, cgp_t = lax.map(phase_c, jnp.arange(n_tiles))
+        cgx_t, cgy_t, cgz_t, cgp_t = lax.map(
+            phase_c, jnp.arange(n_tiles), batch_size=8
+        )
         GXg = GXg + assemble(cgx_t)
         GYg = GYg + assemble(cgy_t)
         GZg = GZg + assemble(cgz_t)

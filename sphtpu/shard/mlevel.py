@@ -117,8 +117,14 @@ def mlargs_tree(args: MLArgs):
     numpy; shapes are static per spec so refreshing contents does not
     recompile)."""
     return MLArgs(
-        act_a=tuple(jnp.asarray(a, jnp.int32) for a in args.act_a),
-        act_b=tuple(jnp.asarray(a, jnp.int32) for a in args.act_b),
+        act_a=tuple(
+            tuple(jnp.asarray(b, jnp.int32) for b in lvl)
+            for lvl in args.act_a
+        ),
+        act_b=tuple(
+            tuple(jnp.asarray(b, jnp.int32) for b in lvl)
+            for lvl in args.act_b
+        ),
         act_c=jnp.asarray(args.act_c, jnp.int32)
         if args.act_c is not None
         else None,
@@ -140,7 +146,9 @@ def make_ml_chunk_runner(cfg: EngineConfig, mesh: Mesh):
     # (engine/step.py), with the prestack split across the shards (each
     # device sweeps 1/P of every active list)
     prestack_ml = sum(
-        4 * na * g * 27 * cap * 4 for (g, cap, na, nb) in cfg.mlevel[0]
+        4 * na_b * g * 27 * cb * 4
+        for (g, cap, buckets) in cfg.mlevel[0]
+        for (cb, na_b, nb_b) in buckets
     ) // n_shards
     use_pallas_ml = (
         cfg.pallas_a

@@ -571,7 +571,9 @@ def make_slab_force_eval(cfg: EngineConfig, plan: SlabPlan):
             row_ok = (qq <= 0) | ((nfound >= kh) & (jnp.sqrt(rk2) <= s))
             return h_t, rho_t, row_ok.astype(dtype)
 
-        h_tiles, rho_tiles, ok_tiles = lax.map(phase_a, jnp.arange(n_tiles))
+        h_tiles, rho_tiles, ok_tiles = lax.map(
+            phase_a, jnp.arange(n_tiles), batch_size=8
+        )
         # (n_tiles, 1, g, cap) -> (qz, g, g*cap)
         def assemble(t):
             return jnp.transpose(
@@ -698,7 +700,7 @@ def make_slab_force_eval(cfg: EngineConfig, plan: SlabPlan):
             gphi_t = p.m * jnp.sum(cpp, axis=-1)
             return (ax, ay, az, div_t, mu_max_t, visc_t, ggx, ggy, ggz, gphi_t)
 
-        outs = lax.map(phase_b, jnp.arange(n_tiles))
+        outs = lax.map(phase_b, jnp.arange(n_tiles), batch_size=8)
         (AXg, AYg, AZg, DIVg, MUg, VKg, GXg, GYg, GZg, GPg) = tuple(
             assemble(o) for o in outs
         )
@@ -750,7 +752,9 @@ def make_slab_force_eval(cfg: EngineConfig, plan: SlabPlan):
                     p.m * jnp.sum(cpp, axis=-1),
                 )
 
-            cgx, cgy, cgz, cgp_ = lax.map(phase_c, jnp.arange(n_tiles))
+            cgx, cgy, cgz, cgp_ = lax.map(
+                phase_c, jnp.arange(n_tiles), batch_size=8
+            )
             GXg = GXg + assemble(cgx)
             GYg = GYg + assemble(cgy)
             GZg = GZg + assemble(cgz)

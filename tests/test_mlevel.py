@@ -51,8 +51,8 @@ def _two_scale(n=4000, kh=24, seed=11):
 
 def _dev_args(args):
     return MLArgs(
-        act_a=tuple(jnp.asarray(a) for a in args.act_a),
-        act_b=tuple(jnp.asarray(b) for b in args.act_b),
+        act_a=tuple(tuple(jnp.asarray(b) for b in lvl) for lvl in args.act_a),
+        act_b=tuple(tuple(jnp.asarray(b) for b in lvl) for lvl in args.act_b),
         act_c=None if args.act_c is None else jnp.asarray(args.act_c),
         species=jnp.asarray(args.species),
     )

@@ -71,8 +71,9 @@ def _run_pair(pos, vel, K, h0, kh, m, steps, gravity="exact", n_dev=8):
     res = plan_mlevel(pos, h0, kh, gravity=gravity, shards=n_dev)
     assert res is not None, "state must admit a multi-level plan"
     spec, args = res
-    for (g, cap, na, nb) in spec[0]:
-        assert na % n_dev == 0 and nb % n_dev == 0
+    for (g, cap, buckets) in spec[0]:
+        for (cb, na_b, nb_b) in buckets:
+            assert na_b % n_dev == 0 and nb_b % n_dev == 0
     assert spec[1] % n_dev == 0
     if spec[2] >= 0:
         assert spec[3] % n_dev == 0

@@ -38,7 +38,11 @@ import jax.numpy as jnp
 N = 100_000
 KH = 50
 WARM_STEPS = 2
-BENCH_STEPS = 4
+# the production chunk length: the driver dispatches snapInterval=10-step
+# chunks (capped at driver.MAX_SCAN_STEPS=10); measured ps/s is flat from
+# 2 to 10 steps/chunk (BASELINE.md scan-length table), so this times what
+# a real campaign sees
+BENCH_STEPS = 10
 
 # vs_baseline denominator: bench_data/baseline_cpu.json, produced by
 # `python baseline_cpu.py 100000` (committed with its provenance there)

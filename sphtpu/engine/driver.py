@@ -48,6 +48,16 @@ P3M_MIN_N = 150_000
 # spec is a compile key.
 ML_SUBCHUNK = 2
 
+# Hard cap on steps per jitted lax.scan dispatch. Measured on the v5e
+# (BASELINE.md "scan length" table): throughput is flat from 2 to 10
+# steps/chunk (~0.80 s/step at N=1e5), but 20-step scans reproducibly
+# crash the TPU worker ("kernel fault") during compile/first run — the
+# round-2 scan-length anomaly's current face. The driver therefore
+# dispatches at most this many steps per chunk and loops; the snapshot
+# cadence is unaffected (the boundary counter advances by executed
+# steps, so partial chunks re-align on the next dispatch).
+MAX_SCAN_STEPS = 10
+
 
 def find_star_radius(rlin: np.ndarray, rho_radial: np.ndarray, threshold: float):
     """First radius where the profile drops below threshold
@@ -510,7 +520,7 @@ def run_simulation(
             n_steps_full = snap_interval - counter + 1
         else:
             n_steps_full = max(snap_interval, 1)
-        n_steps = n_steps_full
+        n_steps = min(n_steps_full, MAX_SCAN_STEPS)
         if max_steps is not None:
             n_steps = min(n_steps, max_steps - total_steps)
 

@@ -30,7 +30,15 @@ class EngineConfig:
     # path is always exact.
     gravity: str = "exact"
     # P3M knobs: mesh cells per tile cell and Gaussian width in mesh cells
-    # (tuned in tests/test_mesh_gravity.py; r_cut = 2 tile cells)
+    # (tuned in tests/test_mesh_gravity.py). The mesh machinery error is
+    # set by sigma in MESH cells (halving sigma_cells doubles it, measured)
+    # while the pair-correction cost is set by the stencil the Gaussian
+    # tail demands in TILE cells: reach = 4.4 sigma = 4.4 * sigma_cells /
+    # mesh_factor tile cells -> c_halfwidth. mesh_factor = 10 shrinks the
+    # correction to a 3^3 stencil but the 8x-larger FFT was MEASURED
+    # slower on the chip (0.53 s vs 0.09 s per solve at grid 26; pad 512
+    # OOMs HBM), so 5 (5^3 stencil, the correction bucketed per strip)
+    # stays the default.
     mesh_factor: int = 5
     sigma_cells: float = 2.2
     # VMEM-resident Pallas phase A (kernels/pallas_knn.py). None = use it
@@ -74,6 +82,18 @@ class EngineConfig:
         from ..physics.mesh_gravity import good_fft_size
 
         return good_fft_size(2 * (self.mesh_gm + 2))
+
+    @property
+    def c_halfwidth(self) -> int:
+        """P3M tail-correction stencil half-width in tile cells: the
+        (2w+1)^3 block guarantees pair coverage to w tile cells = w *
+        mesh_factor / sigma_cells Gaussian widths; w is the smallest
+        half-width reaching TAIL_T = 4.4 sigma (complement ~1e-4)."""
+        import math
+
+        return max(
+            1, math.ceil(4.4 * self.sigma_cells / self.mesh_factor - 1e-9)
+        )
 
 
 class Params(NamedTuple):

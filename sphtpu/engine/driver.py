@@ -299,11 +299,16 @@ def run_simulation(
                 + n * float(c.outlier_budget)
             )
         if c.mlevel is not None:
-            levels, res_budget, _, nc = c.mlevel
+            levels, res_budget, _, c_buckets = c.mlevel
             cost = sum(
                 (na_b + nb_b) * g * cb * 27.0 * cb
                 for g, cap, buckets in levels
                 for cb, na_b, nb_b in buckets
+            )
+            c_depth = 2 * c.c_halfwidth + 1
+            cost += sum(
+                nc_b * levels[0][0] * cb * float(c_depth) ** 3 * cb
+                for cb, nc_b in c_buckets
             )
             return cost + n * float(res_budget) * 2.0
         return float("inf")

@@ -124,12 +124,14 @@ def _opaque_forecast(occ, cap):
     return occ > cap - _occ_margin(cap)
 
 
-def _strip_req_host(occ3, cap, g, *, forecast):
+def _strip_req_host(occ3, cap, g, *, forecast, window=3):
     """(g*g,) per-strip sweep-capacity requirement: the max, over the
-    strip's 3x3 (z, x) neighborhood at every y, of per-cell occupancy —
-    the smallest bucket capacity whose slot slices lose no candidate a
-    sweep at this strip can reach. Opaque cells are excluded (the graze
-    certificates keep every certified query clear of their contents).
+    strip's window x window (z, x) neighborhood at every y, of per-cell
+    occupancy — the smallest bucket capacity whose slot slices lose no
+    candidate a sweep at this strip can reach. Opaque cells are excluded
+    (the graze certificates keep every certified query clear of their
+    contents). window=3 for the 3^3 hydro stencil; 2*c_halfwidth+1 for
+    the P3M tail pass.
 
     forecast=True upper-bounds the engine's exact check over one
     sub-chunk of drift: non-opaque cells get the occupancy margin, and
@@ -141,10 +143,11 @@ def _strip_req_host(occ3, cap, g, *, forecast):
     else:
         eff = np.where(occ3 > cap, 0, occ3)
     col = eff.max(axis=1)  # (z, x): max over all y
-    colp = np.pad(col, 1)
+    w = window // 2
+    colp = np.pad(col, w)
     req = np.zeros_like(col)
-    for dz in range(3):
-        for dx in range(3):
+    for dz in range(window):
+        for dx in range(window):
             req = np.maximum(req, colp[dz : dz + g, dx : dx + g])
     return req.reshape(-1)
 
@@ -176,18 +179,20 @@ class MLArgs(NamedTuple):
 
     act_a: tuple  # per level: per bucket: (na_b,) int32, sentinel-padded
     act_b: tuple  # per level: per bucket: (nb_b,) int32
-    act_c: jnp.ndarray | None  # (nc,) int32 strips at the mesh level (p3m)
+    act_c: tuple | None  # per bucket: (nc_b,) int32 mesh-level strips (p3m)
     species: jnp.ndarray = None  # (N,) int32 in [0, L]; L = residual
 
 
 # MLSpec is carried inside EngineConfig as a plain nested tuple (hashable):
 #   ( ((grid, cap, buckets), ...per level...),
-#     res_budget, mesh_level, nc )
+#     res_budget, mesh_level, c_buckets )
 # buckets = ((cap_b, na_b, nb_b), ...) ascending, ending at cap: per-strip
 # capacity classes — a strip whose reachable stencil cells fit cap_b slots
 # sweeps (cap_b)^2 pair slots instead of cap^2 (the level cap only shapes
 # the slot planes and the scatter targets).
-# mesh_level = -1 for exact gravity; nc = 0 then.
+# mesh_level = -1 for exact gravity; c_buckets = () then. In p3m mode
+# c_buckets = ((cap_b, nc_b), ...) buckets the tail pass the same way
+# (requirement window = the (2 c_halfwidth + 1)^2 tail stencil).
 
 
 def _snap_up(menu, v):
@@ -341,13 +346,17 @@ def plan_mlevel(
     act_slack: float = 1.3,
     slots_max: int = 12_000_000,
     mesh_factor: int = 5,
+    sigma_cells: float = 2.2,
     shards: int = 1,
 ):
     """Choose a multi-level spec for the current state.
 
+    mesh_factor/sigma_cells MUST match the EngineConfig the spec is run
+    with (both sides derive the tail-stencil half-width from them).
+
     Returns (spec_tuple, MLArgs-as-numpy dict) or None when no feasible
     multi-level configuration exists (caller keeps mono-level/gather).
-    spec_tuple = (levels, res_budget, mesh_level, nc) with
+    spec_tuple = (levels, res_budget, mesh_level, c_buckets) with
     levels = ((grid, cap, ((cap_b, na_b, nb_b), ...)), ...) — per-strip
     capacity buckets, smallest feasible class per strip.
 
@@ -416,7 +425,8 @@ def plan_mlevel(
                 gravity=gravity, cap_max=cap_max,
                 res_budget_max=res_budget_max, headroom=headroom,
                 act_slack=act_slack, slots_max=slots_max,
-                mesh_factor=mesh_factor, cap_quantile=cap_q,
+                mesh_factor=mesh_factor, sigma_cells=sigma_cells,
+                cap_quantile=cap_q,
                 layout_cache=layout_cache, shards=shards,
             )
             if cand is not None and (best is None or cand[0] < best[0]):
@@ -429,7 +439,8 @@ def plan_mlevel(
 def _plan_for_grids(
     pos_code, h, kh, grids, half, *,
     gravity, cap_max, res_budget_max, headroom, act_slack, slots_max,
-    mesh_factor, cap_quantile=0.985, layout_cache=None, shards=1,
+    mesh_factor, sigma_cells=2.2, cap_quantile=0.985, layout_cache=None,
+    shards=1,
 ):
     gran = _lcm(ACT_GRAN, shards)
     res_gran = _lcm(256, shards)
@@ -555,28 +566,62 @@ def _plan_for_grids(
     cost += float(n_res) * n * _OPS_RES
 
     mesh_level = -1
-    nc = 0
+    c_buckets = ()
+    reqc = None
     if gravity == "p3m":
         # the mesh anchors to level 0 (as in tiles.py): sigma is tied to
-        # the fine cell edge and the geometric 5^3 tail pass needs every
+        # the fine cell edge and the geometric tail pass needs every
         # particle present, which only level 0 (opacity-free) guarantees
         mesh_level = 0
         gml, capml = levels[0][0], levels[0][1]
-        nc = min(
-            _ceil_to(int(nonempties[0].size * act_slack), gran),
-            _ceil_to(gml * gml, gran),
+        c_hw = _c_halfwidth(mesh_factor, sigma_cells)
+        c_depth = 2 * c_hw + 1
+        reqc = _strip_req_host(
+            occ[0], capml, gml, forecast=True, window=c_depth
         )
-        cost += nc * gml * capml * 125 * capml * _OPS_C
+        ne = nonempties[0]
 
-    spec = (tuple(levels), res_budget, mesh_level, nc)
-    args = _args_for_spec(spec, acts_a, acts_b, nonempties, sp, reqs)
+        def c_list_len(count):
+            return max(
+                min(
+                    _ceil_to(int(count * act_slack), gran),
+                    _ceil_to(gml * gml, gran),
+                ),
+                gran,
+            )
+
+        best_c = None
+        for opt in [(capml,)] + [
+            (cb, capml) for cb in CAP_MENU if cb < capml
+        ]:
+            bks = []
+            c_cost = 0.0
+            for cb, cp in zip(opt, _bucketize(ne, reqc, opt)):
+                nc_b = c_list_len(cp.size)
+                bks.append((cb, nc_b))
+                c_cost += nc_b * gml * cb * c_depth**3 * cb * _OPS_C
+            if best_c is None or c_cost < best_c[0]:
+                best_c = (c_cost, tuple(bks))
+        c_buckets = best_c[1]
+        cost += best_c[0]
+
+    spec = (tuple(levels), res_budget, mesh_level, c_buckets)
+    args = _args_for_spec(spec, acts_a, acts_b, nonempties, sp, reqs, reqc)
     if args is None:
         return None
     return cost, spec, args
 
 
-def _args_for_spec(spec, acts_a, acts_b, nonempties, species, reqs):
-    levels, res_budget, mesh_level, nc = spec
+def _c_halfwidth(mesh_factor, sigma_cells=2.2):
+    """Tail-stencil half-width in tile cells (must mirror
+    EngineConfig.c_halfwidth): smallest w with w tile cells >= 4.4 sigma."""
+    import math
+
+    return max(1, math.ceil(4.4 * sigma_cells / mesh_factor - 1e-9))
+
+
+def _args_for_spec(spec, acts_a, acts_b, nonempties, species, reqs, reqc):
+    levels, res_budget, mesh_level, c_buckets = spec
     pa, pb = [], []
     for (g, cap, buckets), aa, ab, req in zip(levels, acts_a, acts_b, reqs):
         bucket_caps = [bk[0] for bk in buckets]
@@ -593,24 +638,31 @@ def _args_for_spec(spec, acts_a, acts_b, nonempties, species, reqs):
     ac = None
     if mesh_level >= 0:
         ne = nonempties[mesh_level]
-        if ne.size > nc:
-            return None
         gml = levels[mesh_level][0]
-        ac = _pad_act(ne, nc, gml * gml)
+        c_parts = _bucketize(ne, reqc, [bk[0] for bk in c_buckets])
+        lc = []
+        for (cb, nc_b), cp in zip(c_buckets, c_parts):
+            if cp.size > nc_b:
+                return None
+            lc.append(_pad_act(cp, nc_b, gml * gml))
+        ac = tuple(lc)
     return MLArgs(
         act_a=tuple(pa), act_b=tuple(pb), act_c=ac,
         species=species.astype(np.int32),
     )
 
 
-def mlevel_args_still_ok(pos_code, h, spec):
+def mlevel_args_still_ok(pos_code, h, spec, *, mesh_factor=5,
+                         sigma_cells=2.2):
     """Hysteresis: refresh MLArgs for an ALREADY-COMPILED spec from the
     current state, or None when the spec cannot certify anymore (species
     overflow a cap / an active list / the residual budget). Cheap host
-    forecast; the in-engine certificate remains the safety net."""
+    forecast; the in-engine certificate remains the safety net.
+    mesh_factor/sigma_cells must match the EngineConfig (they set the
+    tail-stencil window); a mismatch is caught by the in-engine cert."""
     pos_code = np.asarray(pos_code)
     h = np.asarray(h)
-    levels, res_budget, mesh_level, nc = spec
+    levels, res_budget, mesh_level, c_buckets = spec
     half = float(np.abs(pos_code).max()) * (1 + 1e-6)
     grids = [lv[0] for lv in levels]
     caps = [lv[1] for lv in levels]
@@ -646,7 +698,14 @@ def mlevel_args_still_ok(pos_code, h, spec):
         acts_b.append(ab)
         nonempties.append(ne)
         reqs.append(_strip_req_host(occ[l], cap, g, forecast=True))
-    return _args_for_spec(spec, acts_a, acts_b, nonempties, sp, reqs)
+    reqc = None
+    if mesh_level >= 0:
+        c_depth = 2 * _c_halfwidth(mesh_factor, sigma_cells) + 1
+        reqc = _strip_req_host(
+            occ[mesh_level], caps[mesh_level], grids[mesh_level],
+            forecast=True, window=c_depth,
+        )
+    return _args_for_spec(spec, acts_a, acts_b, nonempties, sp, reqs, reqc)
 
 
 # ---------------------------------------------------------------------------
@@ -710,14 +769,16 @@ def _scatter_strips_into(grid, vals, act, g, cap, cap_b):
     ].set(vals[:, 0])
 
 
-def _cap_view(P, g, cap, cap_b):
+def _cap_view(P, g, cap, cap_b, pad=1):
     """Slot-sliced plane view: the first cap_b slots of every cell.
     Valid for a bucket's strips by the bucket-capacity certificate
-    (their reachable cells fit cap_b slots)."""
+    (their reachable cells fit cap_b slots). pad: plane ghost-cell width
+    (1 for the hydro planes, c_halfwidth for the P3M tail planes)."""
     if cap_b == cap:
         return P
-    return P.reshape(g + 2, g + 2, g + 2, cap)[..., :cap_b].reshape(
-        g + 2, g + 2, (g + 2) * cap_b
+    gp = g + 2 * pad
+    return P.reshape(gp, gp, gp, cap)[..., :cap_b].reshape(
+        gp, gp, gp * cap_b
     )
 
 
@@ -796,7 +857,8 @@ def mlevel_sph_forces(
     slab no matter how particle counts balance, while strip-sharding
     balances slot work exactly (sphtpu/shard/mlevel.py).
     """
-    levels, res_budget, mesh_level, nc = spec
+    levels, res_budget, mesh_level, c_buckets = spec
+    c_hw = _c_halfwidth(mesh_factor, sigma_cells)
     L = len(levels)
     n = pos.shape[0]
     dtype = pos.dtype
@@ -914,8 +976,29 @@ def mlevel_sph_forces(
                 cov_ok = cov_ok & jnp.all(req_pad[a_ids] <= cb)
                 cov_ok = cov_ok & jnp.all(req_pad[b_ids] <= cb)
         if mesh_level == 0 and l == 0:
-            prov_c = jnp.zeros((g * g,), jnp.int32).at[mlargs.act_c].set(1)
+            all_c = jnp.concatenate(mlargs.act_c)
+            prov_c = jnp.zeros((g * g,), jnp.int32).at[all_c].set(1)
             cov_ok = cov_ok & ~jnp.any(ne2d.reshape(-1) > prov_c)
+            # tail-pass bucket certificate: same shape as the hydro one
+            # but over the (2 c_hw + 1)^2 tail stencil, and with NO
+            # opacity exclusion (level 0 is certified opaque-free above,
+            # so occ_eff == occ whenever this matters)
+            if c_hw == 1:
+                reqc_pad = req_pad
+            else:
+                colc = jnp.pad(col, c_hw)
+                reqc2d = jnp.zeros((g, g), jnp.int32)
+                for dz in range(2 * c_hw + 1):
+                    for dx in range(2 * c_hw + 1):
+                        reqc2d = jnp.maximum(
+                            reqc2d, colc[dz : dz + g, dx : dx + g]
+                        )
+                reqc_pad = jnp.concatenate(
+                    [reqc2d.reshape(-1), jnp.zeros((1,), jnp.int32)]
+                )
+            for (cb, _), c_ids in zip(c_buckets, mlargs.act_c):
+                if cb < cap:
+                    cov_ok = cov_ok & jnp.all(reqc_pad[c_ids] <= cb)
         if _MLDEBUG:
             jax.debug.print(
                 "MLDEBUG L{l} cov: dropped_own={d} a_uncov={a} b_uncov={b}"
@@ -1158,18 +1241,19 @@ def mlevel_sph_forces(
 
     return _mlevel_tail(
         pos, vel, m, K, h_hint, mlargs, levels, res_budget, mesh_level,
-        species, spec_f, res_rows if res_budget > 0 else None,
+        c_buckets, species, spec_f, res_rows if res_budget > 0 else None,
         binfo, a_planes, s_l, Hrow, RHOrow, rows_ok, half,
         eos=eos, gamma=gamma, cs0=cs0, alpha=alpha, beta=beta, kh=kh,
-        mesh_factor=mesh_factor, sigma_cells=sigma_cells,
+        mesh_factor=mesh_factor, sigma_cells=sigma_cells, c_hw=c_hw,
         axis=axis, n_shards=n_shards, shard_ids=shard_ids,
     )
 
 
 def _mlevel_tail(
     pos, vel, m, K, h_hint, mlargs, levels, res_budget, mesh_level,
-    species, spec_f, res_rows, binfo, a_planes, s_l, Hrow, RHOrow, rows_ok,
-    half, *, eos, gamma, cs0, alpha, beta, kh, mesh_factor, sigma_cells,
+    c_buckets, species, spec_f, res_rows, binfo, a_planes, s_l, Hrow,
+    RHOrow, rows_ok, half, *, eos, gamma, cs0, alpha, beta, kh,
+    mesh_factor, sigma_cells, c_hw,
     axis=None, n_shards=1, shard_ids=lambda ids: ids,
 ):
     """Phases B/C + residual lane + merge (continuation of
@@ -1367,24 +1451,32 @@ def _mlevel_tail(
         sigma = (s0 / mesh_factor) * sigma_cells
         c0 = binfo[0]["c"]
         rank0 = binfo[0]["rank"]
-        pz2 = c0[:, 2] + 2
-        py2 = c0[:, 1] + 2
-        px2 = (c0[:, 0] + 2) * cap0 + jnp.minimum(rank0, cap0 - 1)
-        shape2 = ((g0 + 4), (g0 + 4), (g0 + 4) * cap0)
+        c_depth = 2 * c_hw + 1
+        if c_hw == 1:
+            # tail reach fits the hydro stencil: reuse the level-0
+            # phase-A planes (pad 1; they hold ALL binned particles)
+            XC, YC, ZC, MC = a_planes[0][0], a_planes[0][1], a_planes[0][2], \
+                a_planes[0][3]
+        else:
+            pzc = c0[:, 2] + c_hw
+            pyc = c0[:, 1] + c_hw
+            pxc = (c0[:, 0] + c_hw) * cap0 + jnp.minimum(rank0, cap0 - 1)
+            gpc = g0 + 2 * c_hw
+            shapec = (gpc, gpc, gpc * cap0)
 
-        def to_plane2(v, fill=0.0):
-            return jnp.full(shape2, fill, dtype).at[pz2, py2, px2].set(
-                v.astype(dtype), mode="drop"
-            )
+            def to_planec(v, fill=0.0):
+                return jnp.full(shapec, fill, dtype).at[pzc, pyc, pxc].set(
+                    v.astype(dtype), mode="drop"
+                )
 
-        X2 = to_plane2(pos[:, 0])
-        Y2 = to_plane2(pos[:, 1])
-        Z2 = to_plane2(pos[:, 2])
-        M2 = to_plane2(jnp.ones((n,), dtype))
+            XC = to_planec(pos[:, 0])
+            YC = to_planec(pos[:, 1])
+            ZC = to_planec(pos[:, 2])
+            MC = to_planec(jnp.ones((n,), dtype))
 
-        def phase_c(t):
+        def phase_c(t, cap_b, planes):
             (qx, cx), (qy, cy), (qz, cz), (qm, cm) = _strip_views(
-                (X2, Y2, Z2, M2), t, g0, cap0, 5
+                planes, t, g0, cap_b, c_depth
             )
             dx = qx[..., None] - cx[:, :, None, :]
             dy = qy[..., None] - cy[:, :, None, :]
@@ -1402,20 +1494,27 @@ def _mlevel_tail(
                 m * jnp.sum(cpp, axis=-1),
             )
 
-        act_c_s = shard_ids(mlargs.act_c)
-        outs_c = lax.map(phase_c, act_c_s, batch_size=8)
+        cgrids = [jnp.zeros((g0, g0, g0 * cap0), dtype) for _ in range(4)]
+        for (cap_b, nc_b), c_ids in zip(c_buckets, mlargs.act_c):
+            planes_b = tuple(
+                _cap_view(P, g0, cap0, cap_b, pad=c_hw)
+                for P in (XC, YC, ZC, MC)
+            )
+            act_c_s = shard_ids(c_ids)
+            outs_c = lax.map(
+                functools.partial(phase_c, cap_b=cap_b, planes=planes_b),
+                act_c_s,
+                batch_size=8,
+            )
+            for gi, o in enumerate(outs_c):
+                cgrids[gi] = _scatter_strips_into(
+                    cgrids[gi], o, act_c_s, g0, cap0, cap_b
+                )
         ix0 = c0[:, 0] * cap0 + jnp.minimum(rank0, cap0 - 1)
-        for o, tgt in zip(outs_c, ("x", "y", "z", "p")):
-            gr = _scatter_strips(o, act_c_s, g0, cap0, 0.0, dtype)
-            v = gr[c0[:, 2], c0[:, 1], ix0]
-            if tgt == "x":
-                ggx = ggx + v
-            elif tgt == "y":
-                ggy = ggy + v
-            elif tgt == "z":
-                ggz = ggz + v
-            else:
-                gphi = gphi + v
+        ggx = ggx + cgrids[0][c0[:, 2], c0[:, 1], ix0]
+        ggy = ggy + cgrids[1][c0[:, 2], c0[:, 1], ix0]
+        ggz = ggz + cgrids[2][c0[:, 2], c0[:, 1], ix0]
+        gphi = gphi + cgrids[3][c0[:, 2], c0[:, 1], ix0]
 
     # ---- residual lane, part 2: forces + scatter-back ----
     if res_budget > 0:

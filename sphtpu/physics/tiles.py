@@ -624,60 +624,79 @@ def tile_sph_forces(
 
     if mesh_factor > 0:
         # -------- phase C: P3M tail correction, term 2 (Newtonian - mesh
-        # shape) over the 5^3 block — every pair within two cells
-        # (r <= 2s = 4.4 sigma guaranteed covered; beyond, the complement
-        # is the ~1e-4 Gaussian tail). The kernel is radial and h-free
-        # (one exp + short Horner per pair, see newton_minus_mesh), so this
-        # pass only streams position/mask planes. The self slot cancels
-        # the mesh's smoothed self-interaction in phi.
+        # shape) over the (2W+1)^3 block, W = the tail-stencil half-width
+        # in tile cells (EngineConfig.c_halfwidth: smallest W with
+        # W s >= 4.4 sigma; beyond, the complement is the ~1e-4 Gaussian
+        # tail). At the default mesh_factor = 10 the mesh is fine enough
+        # that W = 1 and this pass reuses phase A's 3^3 slices; at
+        # mesh_factor = 5 it is the round-2 5^3 geometry. The kernel is
+        # radial and h-free (one exp + short Horner per pair, see
+        # newton_minus_mesh), so this pass only streams position/mask
+        # planes. The self slot cancels the mesh's smoothed
+        # self-interaction in phi.
         sigma = (s / mesh_factor) * sigma_cells
-        gp2 = g + 4
-        xslots2 = gp2 * cap
-        plane2_shape = (gp2, gp2, xslots2)
-        pz2, py2, px2 = pz + 1, py + 1, px + cap
+        import math as _math
 
-        def to_plane2(v, fill=0.0):
-            return jnp.full(plane2_shape, fill, dtype).at[
-                pz2, py2, px2
-            ].set(v.astype(dtype))
+        c_hw = max(1, _math.ceil(4.4 * sigma_cells / mesh_factor - 1e-9))
+        if c_hw == 1:
+            planes_c = (X, Y, Z, MASK)
+            slices_c = tile_slices
+        else:
+            gpc = g + 2 + 2 * (c_hw - 1)
+            planec_shape = (gpc, gpc, gpc * cap)
+            pzc, pyc, pxc = (
+                pz + c_hw - 1,
+                py + c_hw - 1,
+                px + (c_hw - 1) * cap,
+            )
 
-        X2 = to_plane2(pos[:, 0])
-        Y2 = to_plane2(pos[:, 1])
-        Z2 = to_plane2(pos[:, 2])
-        M2 = to_plane2(jnp.ones((n,), dtype))
+            def to_planec(v, fill=0.0):
+                return jnp.full(planec_shape, fill, dtype).at[
+                    pzc, pyc, pxc
+                ].set(v.astype(dtype))
 
-        cw2 = 25 * (window + 4) * cap
+            planes_c = tuple(
+                to_planec(v)
+                for v in (pos[:, 0], pos[:, 1], pos[:, 2], jnp.ones((n,), dtype))
+            )
+            cwc = (2 * c_hw + 1) ** 2 * (window + 2 * c_hw) * cap
 
-        def tile_slices2(planes, t):
-            w = t // (nz * ny)
-            rem = t % (nz * ny)
-            z0 = (rem // ny) * zchunk
-            y0 = (rem % ny) * ychunk
-            x0 = w * window * cap
-            outs = []
-            for p2 in planes:
-                sub = lax.dynamic_slice(
-                    p2,
-                    (z0, y0, x0),
-                    (zchunk + 4, ychunk + 4, (window + 4) * cap),
-                )
-                q = sub[
-                    2 : zchunk + 2, 2 : ychunk + 2, 2 * cap : 2 * cap + qw
-                ]
-                cands = jnp.stack(
-                    [
-                        sub[dz : dz + zchunk, dy : dy + ychunk, :]
-                        for dz in range(5)
-                        for dy in range(5)
-                    ],
-                    axis=2,
-                ).reshape(zchunk, ychunk, cw2)
-                outs.append((q, cands))
-            return outs
+            def slices_c(planes, t):
+                w = t // (nz * ny)
+                rem = t % (nz * ny)
+                z0 = (rem // ny) * zchunk
+                y0 = (rem % ny) * ychunk
+                x0 = w * window * cap
+                outs = []
+                for p2 in planes:
+                    sub = lax.dynamic_slice(
+                        p2,
+                        (z0, y0, x0),
+                        (
+                            zchunk + 2 * c_hw,
+                            ychunk + 2 * c_hw,
+                            (window + 2 * c_hw) * cap,
+                        ),
+                    )
+                    q = sub[
+                        c_hw : zchunk + c_hw,
+                        c_hw : ychunk + c_hw,
+                        c_hw * cap : c_hw * cap + qw,
+                    ]
+                    cands = jnp.stack(
+                        [
+                            sub[dz : dz + zchunk, dy : dy + ychunk, :]
+                            for dz in range(2 * c_hw + 1)
+                            for dy in range(2 * c_hw + 1)
+                        ],
+                        axis=2,
+                    ).reshape(zchunk, ychunk, cwc)
+                    outs.append((q, cands))
+                return outs
 
         def phase_c(t):
-            (qx, cx), (qy, cy), (qz, cz), (qm, cm) = tile_slices2(
-                (X2, Y2, Z2, M2), t
+            (qx, cx), (qy, cy), (qz, cz), (qm, cm) = slices_c(
+                planes_c, t
             )
             dx = qx[..., None] - cx[:, :, None, :]
             dy = qy[..., None] - cy[:, :, None, :]

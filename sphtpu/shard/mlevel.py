@@ -125,7 +125,7 @@ def mlargs_tree(args: MLArgs):
             tuple(jnp.asarray(b, jnp.int32) for b in lvl)
             for lvl in args.act_b
         ),
-        act_c=jnp.asarray(args.act_c, jnp.int32)
+        act_c=tuple(jnp.asarray(b, jnp.int32) for b in args.act_c)
         if args.act_c is not None
         else None,
         species=jnp.asarray(args.species, jnp.int32),

@@ -706,35 +706,47 @@ def make_slab_force_eval(cfg: EngineConfig, plan: SlabPlan):
         )
 
         if p3m:
-            # ---- phase C: 5^3 (Newtonian - mesh shape) tail ----
-            # needs 2-cell y/x padding: dedicated position/mask planes
+            # ---- phase C: (2W+1)^3 (Newtonian - mesh shape) tail ----
+            # W = cfg.c_halfwidth tail-stencil half-width: 1 at the
+            # default mesh_factor=10 (reuses phase A's 3^3 planes), 2 at
+            # mesh_factor=5 (dedicated 2-cell-padded planes). The slab
+            # halo reach is planned for W<=2 (plan_slabs' +2 terms).
             sigma = (s / cfg.mesh_factor) * cfg.sigma_cells
-            gp2 = g + 4
-            plane2_shape = (Z, gp2, gp2 * cap)
+            c_hw = cfg.c_halfwidth
+            if c_hw == 1:
+                planes_c = (X, Y, Zp, CMASK, QMASK)
+            else:
+                gp2 = g + 2 * c_hw
+                plane2_shape = (Z, gp2, gp2 * cap)
 
-            def to_plane_c(v_loc, v_halo):
-                pl = jnp.zeros(plane2_shape, dtype)
-                pz_l = jnp.where(live_l, zl, Z + 9)
-                pz_h = jnp.where(live_h, hzl, Z + 9)
-                pl = pl.at[
-                    pz_l, yc + 2, (xc + 2) * cap + jnp.minimum(rank_l, cap - 1)
-                ].set(v_loc.astype(dtype), mode="drop")
-                pl = pl.at[
-                    pz_h,
-                    hcell[:, 1] + 2,
-                    (hcell[:, 0] + 2) * cap + jnp.minimum(rank_h, cap - 1),
-                ].set(v_halo.astype(dtype), mode="drop")
-                return pl
+                def to_plane_c(v_loc, v_halo):
+                    pl = jnp.zeros(plane2_shape, dtype)
+                    pz_l = jnp.where(live_l, zl, Z + 9)
+                    pz_h = jnp.where(live_h, hzl, Z + 9)
+                    pl = pl.at[
+                        pz_l,
+                        yc + c_hw,
+                        (xc + c_hw) * cap + jnp.minimum(rank_l, cap - 1),
+                    ].set(v_loc.astype(dtype), mode="drop")
+                    pl = pl.at[
+                        pz_h,
+                        hcell[:, 1] + c_hw,
+                        (hcell[:, 0] + c_hw) * cap
+                        + jnp.minimum(rank_h, cap - 1),
+                    ].set(v_halo.astype(dtype), mode="drop")
+                    return pl
 
-            X2 = to_plane_c(pos_l[:, 0], hx)
-            Y2 = to_plane_c(pos_l[:, 1], hy)
-            Z2 = to_plane_c(pos_l[:, 2], hz)
-            CM2 = to_plane_c(ones_l, ones_h)
-            QM2 = to_plane_c(ones_l, jnp.zeros_like(hx))
+                planes_c = (
+                    to_plane_c(pos_l[:, 0], hx),
+                    to_plane_c(pos_l[:, 1], hy),
+                    to_plane_c(pos_l[:, 2], hz),
+                    to_plane_c(ones_l, ones_h),
+                    to_plane_c(ones_l, jnp.zeros_like(hx)),
+                )
 
             def phase_c(t):
                 (qx, cx), (qy, cy), (qz_, cz_), (cmq, cm), (qq, _) = (
-                    tile_slices((X2, Y2, Z2, CM2, QM2), t, 5)
+                    tile_slices(planes_c, t, 2 * c_hw + 1)
                 )
                 dx = qx[..., None] - cx[:, :, None, :]
                 dy = qy[..., None] - cy[:, :, None, :]

@@ -53,7 +53,9 @@ def _dev_args(args):
     return MLArgs(
         act_a=tuple(tuple(jnp.asarray(b) for b in lvl) for lvl in args.act_a),
         act_b=tuple(tuple(jnp.asarray(b) for b in lvl) for lvl in args.act_b),
-        act_c=None if args.act_c is None else jnp.asarray(args.act_c),
+        act_c=None
+        if args.act_c is None
+        else tuple(jnp.asarray(b) for b in args.act_c),
         species=jnp.asarray(args.species),
     )
 
@@ -186,7 +188,8 @@ def test_mlevel_p3m_certifies_and_tracks_exact():
     res = plan_mlevel(pos, h0, kh, gravity="p3m")
     assert res is not None
     spec, args = res
-    assert spec[2] == 0 and spec[3] > 0
+    assert spec[2] == 0 and len(spec[3]) > 0
+    assert all(nc_b > 0 for _, nc_b in spec[3])
     P, V, Kj, H = map(jnp.asarray, (pos, vel, K, h0))
     m = 1.0 / n
 

@@ -76,7 +76,8 @@ def _run_pair(pos, vel, K, h0, kh, m, steps, gravity="exact", n_dev=8):
             assert na_b % n_dev == 0 and nb_b % n_dev == 0
     assert spec[1] % n_dev == 0
     if spec[2] >= 0:
-        assert spec[3] % n_dev == 0
+        for (cb, nc_b) in spec[3]:
+            assert nc_b % n_dev == 0
 
     cfg = EngineConfig(
         n=n, kh=kh, eos="polytropic", dtype="float64", mlevel=spec,

@@ -119,41 +119,81 @@ def main():
         vel_ckpt = np.asarray(state.vel)
         K_ckpt = np.asarray(state.K)
         t_ckpt = float(np.asarray(state.t))
+        grav = "p3m" if N >= P3M_MIN_N else "exact"
+        eargs = None
         if os.environ.get("COLLAPSE_ENGINE") == "gather":
             # single always-exact program: right for small-N CPU lanes
             cfg = EngineConfig(n=N, kh=KH, eos="polytropic", dtype=DTYPE)
         else:
-            # compile-aware hysteresis: prefer any already-compiled config
-            # that still certifies; plan fresh (fat margins) when none do
-            cached = [
-                c for c in runners
-                if c.tile is not None
-                and tile_params_still_ok(
-                    pos_ckpt, h_host, c.tile[0], c.tile[1], c.outlier_budget
-                )
-            ]
-            if cached:
-                cfg = min(
-                    cached,
-                    key=lambda c: c.tile[0] ** 3 * c.tile[1] ** 2 * 27.0
-                    + N * float(c.outlier_budget),
-                )
-            else:
-                tp = choose_tile_params_ml(
-                    pos_ckpt, h_host, KH, headroom=1.5, budget_margin=2.0
-                )
-                if tp is None:
-                    cfg = EngineConfig(
-                        n=N, kh=KH, eos="polytropic", dtype=DTYPE
+            # compile-aware hysteresis, mirroring the production driver's
+            # pick_cfg (engine/driver.py): prefer any already-compiled
+            # config that still certifies; plan fresh when none do —
+            # mono tiles for uniform states, the block-compact engine
+            # under contrast, outlier-lane tiles as the last resort
+            from sphtpu.physics.blocks import (
+                block_args_for_spec,
+                plan_blocks,
+            )
+            from sphtpu.physics.tiles import choose_tile_params
+
+            def cfg_cost(c):
+                if c.tile is not None:
+                    return (
+                        c.tile[0] ** 3 * float(c.tile[1]) ** 2 * 27.0
+                        + N * float(c.outlier_budget)
                     )
-                else:
-                    grid, cap, budget = tp
+                from sphtpu.physics.blocks import BQ
+
+                return 13.0 * sum(cb * nb * BQ for cb, nb in c.blocks[0])
+
+            cached = []
+            for c in runners:
+                if c.tile is not None and tile_params_still_ok(
+                    pos_ckpt, h_host, c.tile[0], c.tile[1], c.outlier_budget
+                ):
+                    cached.append((c, None))
+                elif c.blocks is not None:
+                    a = block_args_for_spec(
+                        pos_ckpt, h_host, c.blocks, gravity=c.gravity
+                    )
+                    if a is not None:
+                        cached.append((c, a))
+            if cached:
+                cfg, eargs = min(cached, key=lambda ca: cfg_cost(ca[0]))
+            else:
+                tp_mono = choose_tile_params(
+                    pos_ckpt, h_host, KH, headroom=1.5
+                )
+                blk = None if tp_mono is not None else plan_blocks(
+                    pos_ckpt, h_host, KH, gravity=grav
+                )
+                if tp_mono is not None:
                     cfg = EngineConfig(
                         n=N, kh=KH, eos="polytropic", dtype=DTYPE,
-                        tile=(grid, cap),
-                        gravity="p3m" if N >= P3M_MIN_N else "exact",
-                        outlier_budget=budget,
+                        tile=tp_mono, gravity=grav,
                     )
+                elif blk is not None:
+                    spec, eargs = blk
+                    cfg = EngineConfig(
+                        n=N, kh=KH, eos="polytropic", dtype=DTYPE,
+                        blocks=spec, gravity=grav,
+                    )
+                else:
+                    tp = choose_tile_params_ml(
+                        pos_ckpt, h_host, KH, headroom=1.5,
+                        budget_margin=2.0,
+                    )
+                    if tp is None:
+                        cfg = EngineConfig(
+                            n=N, kh=KH, eos="polytropic", dtype=DTYPE
+                        )
+                    else:
+                        grid, cap, budget = tp
+                        cfg = EngineConfig(
+                            n=N, kh=KH, eos="polytropic", dtype=DTYPE,
+                            tile=(grid, cap), gravity=grav,
+                            outlier_budget=budget,
+                        )
         chunk = get_runner(cfg)
         tw = time.time()
         # the axon TPU worker occasionally crashes/restarts mid-compile;
@@ -162,7 +202,12 @@ def main():
         for attempt in range(4):
             try:
                 state2, stats, valid, h_dev2, rho_dev, nfb = chunk(
-                    state, params, h_dev, n_steps=CHUNK
+                    state, params, h_dev,
+                    # traced boxes drift with the state: blocks configs
+                    # run short sub-chunks with a host refresh between
+                    # (the hysteresis lookup above IS the refresh)
+                    n_steps=min(CHUNK, 2) if cfg.blocks is not None else CHUNK,
+                    mlargs=eargs,
                 )
                 h_host = np.asarray(h_dev2, np.float64)
                 rho = np.asarray(rho_dev, np.float64)

@@ -55,16 +55,28 @@ class EngineConfig:
     # TRACED arguments (MLArgs) threaded through the chunk runner, so a
     # drifting state refreshes them without recompiling.
     mlevel: tuple = None
+    # block-compact engine spec (physics/blocks.py):
+    # (buckets, oct_grids, runs_xy, g_mesh). Mutually exclusive with
+    # tile/mlevel; the per-chunk BlockArgs (packing orders, boxes, prefix
+    # tables) are TRACED arguments threaded through the chunk runner —
+    # drift refreshes them into the same compiled spec
+    # (block_args_for_spec) without recompiling.
+    blocks: tuple = None
 
     def __post_init__(self):
         if self.eos not in ("polytropic", "isothermal"):
             raise ValueError(f"unknown EOS {self.eos!r}")
         if self.gravity not in ("exact", "p3m"):
             raise ValueError(f"unknown gravity mode {self.gravity!r}")
-        if self.gravity == "p3m" and self.tile is None and self.mlevel is None:
-            raise ValueError("p3m gravity requires a tile engine")
-        if self.tile is not None and self.mlevel is not None:
-            raise ValueError("tile and mlevel are mutually exclusive")
+        if (
+            self.gravity == "p3m"
+            and self.tile is None
+            and self.mlevel is None
+            and self.blocks is None
+        ):
+            raise ValueError("p3m gravity requires a tile/mlevel/blocks engine")
+        if sum(x is not None for x in (self.tile, self.mlevel, self.blocks)) > 1:
+            raise ValueError("tile, mlevel, and blocks are mutually exclusive")
 
     @property
     def jdtype(self):
@@ -73,7 +85,12 @@ class EngineConfig:
     @property
     def mesh_gm(self) -> int:
         """Live mesh cells per edge (p3m mode)."""
-        g0 = self.tile[0] if self.tile is not None else self.mlevel[0][0][0]
+        if self.tile is not None:
+            g0 = self.tile[0]
+        elif self.mlevel is not None:
+            g0 = self.mlevel[0][0][0]
+        else:
+            g0 = self.blocks[3]  # the spec's mesh anchor grid
         return self.mesh_factor * g0
 
     @property

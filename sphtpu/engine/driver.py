@@ -151,6 +151,7 @@ def run_simulation(
         import jax
         from jax.sharding import Mesh
 
+        from ..shard.blocks import blockargs_tree, make_blocks_chunk_runner
         from ..shard.mlevel import make_ml_chunk_runner, mlargs_tree
         from ..shard.tiles import (
             AXIS,
@@ -169,6 +170,7 @@ def run_simulation(
         _slab_cache = {}
         _slab_plans = []  # [(cfg_s, plan)], most recent first (hysteresis)
         _ml_cache = {}
+        _blk_cache = {}
 
         def get_slab_chunk(cfg_s, plan):
             from ..shard.tiles import make_slab_chunk_runner
@@ -182,6 +184,11 @@ def run_simulation(
             if cfg_ml not in _ml_cache:
                 _ml_cache[cfg_ml] = make_ml_chunk_runner(cfg_ml, mesh)
             return _ml_cache[cfg_ml]
+
+        def get_blk_chunk(cfg_bl):
+            if cfg_bl not in _blk_cache:
+                _blk_cache[cfg_bl] = make_blocks_chunk_runner(cfg_bl, mesh)
+            return _blk_cache[cfg_bl]
 
     def _fresh_h(state2):
         """Frozen steps leave h/rho at pre-freeze values for the executed
@@ -254,9 +261,46 @@ def run_simulation(
                 ]
             return state2, stats, valid, h2, rho2, cert_fired
 
-        # no certifiable slab decomposition (deep collapse): strip-sharded
-        # multi-level engine — replicated state, work lists split across
-        # the mesh, psum-combined rows (sphtpu/shard/mlevel.py)
+        # no certifiable slab decomposition (deep collapse): work-sharded
+        # engines — replicated state, work lists split across the mesh,
+        # psum-combined rows. The block-compact engine first (measured
+        # fastest under contrast, sphtpu/shard/blocks.py), the
+        # strip-sharded multi-level engine next (sphtpu/shard/mlevel.py)
+        from ..physics.blocks import block_args_for_spec, plan_blocks
+
+        cfg_bl = bargs = None
+        for cfg_c in _blk_cache:
+            if cfg_c.gravity != grav:
+                continue
+            a = block_args_for_spec(
+                pos_host, h_host, cfg_c.blocks, gravity=grav
+            )
+            if a is not None:
+                cfg_bl, bargs = cfg_c, a
+                break
+        if cfg_bl is None:
+            blk = plan_blocks(
+                pos_host, h_host, kh, gravity=grav, shards=n_devices
+            )
+            if blk is not None:
+                spec, bargs = blk
+                cfg_bl = EngineConfig(
+                    n=n, kh=kh, eos=eos, dtype=dtype, blocks=spec,
+                    gravity=grav,
+                )
+        if cfg_bl is not None:
+            chunk = get_blk_chunk(cfg_bl)
+            state2, stats, valid, cert, h_rows, rho_rows = chunk(
+                state, params, jnp.asarray(h_host, jd),
+                blockargs_tree(bargs), n_steps=min(n_steps, ML_SUBCHUNK),
+            )
+            h2 = np.asarray(h_rows, np.float64)
+            rho2 = np.asarray(rho_rows, np.float64)
+            cert_fired = bool(np.asarray(cert).any())
+            if cert_fired:
+                h2 = _fresh_h(state2)
+            return state2, stats, valid, h2, rho2, cert_fired
+
         from ..physics.mlevel import mlevel_args_still_ok, plan_mlevel
 
         cfg_ml = mlargs = None
@@ -298,6 +342,14 @@ def run_simulation(
                 c.tile[0] ** 3 * float(c.tile[1]) ** 2 * 27.0
                 + n * float(c.outlier_budget)
             )
+        if c.blocks is not None:
+            from ..physics.blocks import BQ
+
+            # pair slots x an empirical per-slot factor that puts the
+            # block engine on the same scale as the strip-engine models
+            # (measured on the deep-collapse fixture: 6.9e8 block slots
+            # ran 1.7x faster than an mlevel spec modelled at 1.5e10)
+            return 13.0 * sum(cb * nb * BQ for cb, nb in c.blocks[0])
         if c.mlevel is not None:
             levels, res_budget, _, c_buckets = c.mlevel
             cost = sum(
@@ -325,6 +377,7 @@ def run_simulation(
         is a compile key), so hysteresis there means reusing the spec."""
         if engine != "auto":
             return base_cfg, None
+        from ..physics.blocks import block_args_for_spec, plan_blocks
         from ..physics.mlevel import mlevel_args_still_ok, plan_mlevel
         from ..physics.tiles import tile_params_still_ok
 
@@ -338,6 +391,12 @@ def run_simulation(
                 args = mlevel_args_still_ok(pos_host, h_host, c.mlevel)
                 if args is not None:
                     cached.append((c, args))
+            elif c.blocks is not None:
+                args = block_args_for_spec(
+                    pos_host, h_host, c.blocks, gravity=c.gravity
+                )
+                if args is not None:
+                    cached.append((c, args))
         if cached:
             return min(cached, key=lambda ca: _cfg_cost(ca[0]))
 
@@ -347,7 +406,9 @@ def run_simulation(
             else "exact"
         )
         # uniform states: the mono-level engine (Pallas phase A) is the
-        # tuned fast path; contrast states: the multi-level engine
+        # tuned fast path; contrast states: the block-compact engine
+        # (measured fastest under deep collapse), then the multi-level
+        # engine, then the outlier-lane tiles
         from ..physics.tiles import choose_tile_params
 
         tp_mono = choose_tile_params(pos_host, h_host, kh, headroom=1.5)
@@ -358,6 +419,16 @@ def run_simulation(
                     gravity=grav,
                 ),
                 None,
+            )
+        blk = plan_blocks(pos_host, h_host, kh, gravity=grav)
+        if blk is not None:
+            spec, args = blk
+            return (
+                EngineConfig(
+                    n=n, kh=kh, eos=eos, dtype=dtype, blocks=spec,
+                    gravity=grav,
+                ),
+                args,
             )
         ml = plan_mlevel(pos_host, h_host, kh, gravity=grav)
         if ml is not None:
@@ -550,7 +621,9 @@ def run_simulation(
             with timer("pick_grid"):
                 cfg, mlargs = pick_cfg(h_host, np.asarray(state.pos))
                 chunk = get_chunk(cfg)
-            if cfg.mlevel is not None:
+            if cfg.mlevel is not None or cfg.blocks is not None:
+                # traced work lists / boxes drift with the state: short
+                # sub-chunks keep them fresh (host refresh, no recompile)
                 n_steps = min(n_steps, ML_SUBCHUNK)
             with timer("chunk_steps"):
                 state, stats_code, valid, h_dev, rho_dev, nfb = chunk(

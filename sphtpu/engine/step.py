@@ -64,7 +64,55 @@ def force_eval(
     Returns (acc, reduced, phi, fell_back). ghat: precomputed Green's
     transform for p3m gravity (computed here if None — callers running
     inside a scan should hoist it via greens_hat()). mlargs: the traced
-    per-chunk MLArgs when cfg.mlevel is set."""
+    per-chunk engine arguments — MLArgs when cfg.mlevel is set, BlockArgs
+    when cfg.blocks is set."""
+    if cfg.blocks is not None:
+        from ..physics.blocks import block_sph_forces
+
+        if mlargs is None:
+            raise ValueError("cfg.blocks requires BlockArgs via mlargs")
+        p3m = cfg.gravity == "p3m"
+        tf, gcorr, ok = block_sph_forces(
+            pos,
+            vel,
+            p.m,
+            K,
+            h_hint,
+            mlargs,
+            eos=cfg.eos,
+            gamma=p.gamma,
+            cs0=p.cs0,
+            alpha=p.alpha,
+            beta=p.beta,
+            kh=cfg.kh,
+            spec=cfg.blocks,
+            gravity=cfg.gravity,
+            mesh_factor=cfg.mesh_factor,
+            sigma_cells=cfg.sigma_cells,
+            pallas_a=cfg.pallas_a,
+        )
+        if p3m and ghat is None:
+            ghat = greens_hat(cfg.mesh_pad, cfg.sigma_cells, pos.dtype)
+
+        def blk_branch():
+            if p3m:
+                gmesh, phim = p3m_mesh_force(
+                    pos, p.m, ghat, gm=cfg.mesh_gm, pad=cfg.mesh_pad
+                )
+                g = gmesh + jnp.stack(gcorr[:3], axis=1)
+                return tf, tf.acc - g, phim + gcorr[3]
+            gn, phin = gravity_newton_allpairs(pos, p.m)
+            g = gn + jnp.stack(gcorr[:3], axis=1)
+            return tf, tf.acc - g, phin + gcorr[3]
+
+        def blk_fallback():
+            red = _gather_reduced(cfg, p, pos, vel, K)
+            g, phi = gravity_allpairs(pos, red.h, p.m)
+            return red, red.acc - g, phi
+
+        red, acc, phi = lax.cond(ok, blk_branch, blk_fallback)
+        return acc, red, phi, ~ok
+
     if cfg.mlevel is not None:
         from ..physics.mlevel import mlevel_sph_forces
 

@@ -53,10 +53,13 @@ from .cubic_spline import W
 N_BISECT = 34
 
 
-def _qb_for(cap: int) -> int:
+def _qb_for(cap: int, cw: int = 0) -> int:
     """Largest divisor of cap (multiple of 8) keeping the ~10 live
-    (qb, 27*cap) f32 temporaries of one grid step under ~12 MB."""
-    limit = max(11574 // cap, 8)
+    (qb, cw) f32 temporaries of one grid step under ~12 MB. cw defaults
+    to the strip geometry's 27*cap."""
+    if not cw:
+        cw = 27 * cap
+    limit = max(312_498 // cw, 8)
     qb = 8
     for d in range(8, cap + 1, 8):
         if cap % d == 0 and d <= limit:
@@ -69,7 +72,7 @@ def _kernel(
     qx_ref, qy_ref, qz_ref, qm_ref, r2_ref,
     cx_ref, cy_ref, cz_ref, cm_ref,
     h_ref, rho_ref, ok_ref,
-    *, kh: int,
+    *, kh: int, n_bisect: int = N_BISECT,
 ):
     dtype = qx_ref.dtype
     big = jnp.finfo(dtype).max
@@ -106,7 +109,7 @@ def _kernel(
         ge = cnt >= kf  # k-th distance <= mid: shrink to [lo, mid]
         return jnp.where(ge, lo, mid), jnp.where(ge, mid, hi)
 
-    lo, hi = jax.lax.fori_loop(0, N_BISECT, bis, (lo0, hi0))
+    lo, hi = jax.lax.fori_loop(0, n_bisect, bis, (lo0, hi0))
 
     inw = d2m <= hi
     rk2 = jnp.max(jnp.where(inw, d2m, 0.0), axis=1, keepdims=True)
@@ -130,24 +133,33 @@ def _kernel(
     ok_ref[0] = row_ok.astype(dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("kh", "cap", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("kh", "cap", "interpret", "n_bisect")
+)
 def phase_a_cells(
     queries,  # (qx, qy, qz, qm): each (n_cells, cap); qm = species mask
     reach2,  # (n_cells, cap) per-query certification radius^2
-    cands,  # (cx, cy, cz, cm): each (n_cells, 27*cap); cm = occupancy
+    cands,  # (cx, cy, cz, cm): each (n_cells, cw); cm = occupancy
     m,
     *,
     kh: int,
     cap: int,
     interpret: bool = False,
+    n_bisect: int = N_BISECT,
 ):
     """Returns (h, rho, ok) each (n_cells, cap); ok is 1.0 where the row
-    certifies (masked-off, or k found with r_k^2 <= reach2)."""
+    certifies (masked-off, or k found with r_k^2 <= reach2).
+
+    Shape-generic over the candidate width: the strip engines call it
+    with cw = 27*cap stencil stacks; the block engine (physics/blocks.py)
+    with cw = C_b candidate tables and cap = BQ packed-query blocks
+    (n_bisect raised there — its seed interval spans the whole domain
+    for tail-radius rows, not 1.5 cell edges)."""
     qx, qy, qz, qm = queries
     cx, cy, cz, cm = cands
     n_cells, cw = cx.shape
     dtype = cx.dtype
-    qb = _qb_for(cap)
+    qb = _qb_for(cap, cw)
     n_jb = cap // qb
 
     def qview(a):
@@ -163,7 +175,7 @@ def phase_a_cells(
     out_shape = jax.ShapeDtypeStruct((n_cells, cap, 1), dtype)
 
     h, rho, ok = pl.pallas_call(
-        functools.partial(_kernel, kh=kh),
+        functools.partial(_kernel, kh=kh, n_bisect=n_bisect),
         grid=(n_cells, n_jb),
         in_specs=[s_spec] + [q_specs] * 5 + [c_specs] * 4,
         out_specs=[out_spec] * 3,

@@ -141,7 +141,6 @@ def make_ml_chunk_runner(cfg: EngineConfig, mesh: Mesh):
     refreshes them without recompiling."""
     assert cfg.mlevel is not None
     n_shards = int(np.prod(mesh.devices.shape))
-    p3m = cfg.gravity == "p3m"
     # same Pallas phase-A policy as the single-chip dispatch
     # (engine/step.py), with the prestack split across the shards (each
     # device sweeps 1/P of every active list)
@@ -158,14 +157,29 @@ def make_ml_chunk_runner(cfg: EngineConfig, mesh: Mesh):
         and prestack_ml <= 1.6e9
     )
 
-    def force(p: Params, pos, vel, K, h_hint, mlargs, ghat):
-        tf, gcorr, ok = mlevel_sph_forces(
+    def engine_force(p: Params, pos, vel, K, h_hint, mlargs):
+        return mlevel_sph_forces(
             pos, vel, p.m, K, h_hint, mlargs,
             eos=cfg.eos, gamma=p.gamma, cs0=p.cs0, alpha=p.alpha,
             beta=p.beta, kh=cfg.kh, spec=cfg.mlevel,
             mesh_factor=cfg.mesh_factor, sigma_cells=cfg.sigma_cells,
             axis=AXIS, n_shards=n_shards, pallas_a=use_pallas_ml,
         )
+
+    return _make_workshard_chunk_runner(cfg, mesh, engine_force)
+
+
+def _make_workshard_chunk_runner(cfg: EngineConfig, mesh: Mesh, engine_force):
+    """Generic work-sharded chunk runner: replicated state, the engine's
+    flat work lists split across the mesh by `engine_force` (which must
+    psum its per-row outputs internally), far field row-sharded (exact)
+    or replicated (p3m mesh). Shared by the strip-sharded multi-level
+    engine and the block-compact engine (shard/blocks.py)."""
+    n_shards = int(np.prod(mesh.devices.shape))
+    p3m = cfg.gravity == "p3m"
+
+    def force(p: Params, pos, vel, K, h_hint, mlargs, ghat):
+        tf, gcorr, ok = engine_force(p, pos, vel, K, h_hint, mlargs)
         if p3m:
             gmesh, phim = p3m_mesh_force(
                 pos, p.m, ghat, gm=cfg.mesh_gm, pad=cfg.mesh_pad

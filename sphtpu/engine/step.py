@@ -57,7 +57,8 @@ def _gather_reduced(cfg: EngineConfig, p: Params, pos, vel, K) -> ReducedForces:
 
 
 def force_eval(
-    cfg: EngineConfig, p: Params, pos, vel, K, h_hint, ghat=None, mlargs=None
+    cfg: EngineConfig, p: Params, pos, vel, K, h_hint, ghat=None, mlargs=None,
+    aux=None,
 ):
     """Hydro + gravity acceleration (getAcc, polytrope_sim.jl:17-51).
 
@@ -65,7 +66,9 @@ def force_eval(
     transform for p3m gravity (computed here if None — callers running
     inside a scan should hoist it via greens_hat()). mlargs: the traced
     per-chunk engine arguments — MLArgs when cfg.mlevel is set, BlockArgs
-    when cfg.blocks is set."""
+    when cfg.blocks is set. aux: hoisted per-chunk candidate index tables
+    (build_cand_tables) for cfg.blocks — scan callers compute them once
+    per chunk; None rebuilds in-call."""
     if cfg.blocks is not None:
         from ..physics.blocks import block_sph_forces
 
@@ -90,6 +93,7 @@ def force_eval(
             mesh_factor=cfg.mesh_factor,
             sigma_cells=cfg.sigma_cells,
             pallas_a=cfg.pallas_a,
+            idx_tables=aux,
         )
         if p3m and ghat is None:
             ghat = greens_hat(cfg.mesh_pad, cfg.sigma_cells, pos.dtype)
@@ -290,10 +294,12 @@ def make_step(cfg: EngineConfig):
     """Returns step(state, params, h_hint, ghat=None, mlargs=None) ->
     (state', stats_row, h_new, rho_new, n_fallbacks)."""
 
-    def step(state: State, p: Params, h_hint, ghat=None, mlargs=None) -> Tuple:
+    def step(
+        state: State, p: Params, h_hint, ghat=None, mlargs=None, aux=None
+    ) -> Tuple:
         pos, vel, K = state.pos, state.vel, state.K
         acc, sf, phi, fb1 = force_eval(
-            cfg, p, pos, vel, K, h_hint, ghat, mlargs
+            cfg, p, pos, vel, K, h_hint, ghat, mlargs, aux
         )
         dt = _adaptive_dt(p, sf, acc, vel)
         vel_r2 = jnp.sum(vel * vel, axis=1)
@@ -305,7 +311,7 @@ def make_step(cfg: EngineConfig):
         if cfg.eos == "polytropic":
             K = evolve_K(K, sf.visc_dk, p.gamma, sf.rho, dt)
         acc2, sf2, _, fb2 = force_eval(
-            cfg, p, pos_half, vel_half, K, sf.h, ghat, mlargs
+            cfg, p, pos_half, vel_half, K, sf.h, ghat, mlargs, aux
         )
         if cfg.eos == "polytropic":
             K = evolve_K(K, sf2.visc_dk, p.gamma, sf2.rho, dt)
@@ -343,6 +349,13 @@ def make_chunk_runner(cfg: EngineConfig):
             if cfg.gravity == "p3m"
             else None
         )
+        # also hoisted: the block engine's candidate index tables depend
+        # only on the plan (mlargs), not the state — one build per chunk
+        aux = None
+        if cfg.blocks is not None and mlargs is not None:
+            from ..physics.blocks import build_cand_tables
+
+            aux = build_cand_tables(mlargs, cfg.blocks, cfg.n)
 
         def body(carry, _):
             st, h, rho = carry
@@ -350,7 +363,7 @@ def make_chunk_runner(cfg: EngineConfig):
 
             def do(args):
                 s, hh, rr = args
-                s2, stats, h2, rho2, nfb = step(s, p, hh, ghat, mlargs)
+                s2, stats, h2, rho2, nfb = step(s, p, hh, ghat, mlargs, aux)
                 return (s2, h2, rho2), stats, nfb
 
             def skip(args):

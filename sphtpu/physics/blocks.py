@@ -582,11 +582,66 @@ def _cand_indices(box, starts_o_list, runs_zy_b, n_sentinel, C_b):
     run_lens = jnp.concatenate(run_lens)
     cum = jnp.cumsum(run_lens)
     slot = jnp.arange(C_b, dtype=jnp.int32)
-    rid = jnp.searchsorted(cum, slot, side="right").astype(jnp.int32)
-    rid_c = jnp.minimum(rid, cum.shape[0] - 1)
-    prev = jnp.where(rid_c > 0, cum[jnp.maximum(rid_c - 1, 0)], 0)
-    idx = run_starts[rid_c] + (slot - prev)
+    # run-id per slot by scatter + cumulative max: each LIVE run scatters
+    # its id at its start offset (live starts are distinct; dead runs
+    # share a live successor's offset and are simply not scattered), and
+    # a running max fills the ids forward. searchsorted here instead was
+    # ~13 serial gather passes per slot — measured 0.82 s/eval on the
+    # deep-collapse fixture, 55% of the whole force pass.
+    off = cum - run_lens  # start offset of run i
+    ids = jnp.arange(run_lens.shape[0], dtype=jnp.int32)
+    pos_s = jnp.where(run_lens > 0, off, C_b)  # dead -> dropped (OOB)
+    rid = jnp.zeros((C_b,), jnp.int32).at[pos_s].max(ids, mode="drop")
+    rid = lax.associative_scan(jnp.maximum, rid)
+    idx = run_starts[rid] + (slot - off[rid])
     return jnp.where(slot < cum[-1], idx, n_sentinel)
+
+
+def _shard_slicer(axis, n_shards):
+    """Per-bucket (b0, nb_s) block-list slice for this device (the whole
+    list when unsharded)."""
+    if axis is not None:
+        shard_at = lax.axis_index(axis)
+
+        def shard_blocks(nb):
+            k = nb // n_shards
+            return shard_at * k, k
+    else:
+
+        def shard_blocks(nb):
+            return 0, nb
+
+    return shard_blocks
+
+
+def build_cand_tables(bargs: BlockArgs, spec, n, *, axis=None, n_shards=1):
+    """Per-bucket (nb_s, C_b) candidate index tables for this device's
+    slice of every bucket's block list. The tables depend only on the
+    plan (boxes + prefix tables), not on the state, so chunk runners
+    build them ONCE per sub-chunk outside the step scan and thread them
+    into block_sph_forces via idx_tables — rebuilding them per force
+    evaluation measured 0.2 s/eval on the deep-collapse fixture (0.82
+    s/eval with the searchsorted expansion the scatter+cummax replaced);
+    XLA does not hoist the build out of the scan on its own."""
+    buckets, oct_grids, runs_zy, _ = spec
+    n_oct = len(oct_grids)
+    shard_blocks = _shard_slicer(axis, n_shards)
+    tables = []
+    for (C_b, nb), bx, rz in zip(buckets, bargs.boxes, runs_zy):
+        b0, nb_s = shard_blocks(nb)
+        b0 = jnp.asarray(b0, jnp.int32)
+        z32 = jnp.zeros((), jnp.int32)
+        boxes_s = lax.dynamic_slice(bx, (b0, z32, z32), (nb_s, n_oct, 6))
+        tables.append(
+            lax.map(
+                lambda bb, C_b=C_b, rz=rz: _cand_indices(
+                    bb, bargs.starts, rz, n, C_b
+                ),
+                boxes_s,
+                batch_size=min(32, nb_s),
+            )
+        )
+    return tuple(tables)
 
 
 @functools.partial(
@@ -618,6 +673,7 @@ def block_sph_forces(
     n_shards: int = 1,
     pallas_a: bool = None,
     pallas_interpret: bool = False,
+    idx_tables: tuple = None,
 ):
     """Block-compact force evaluation. Same contract as tile_sph_forces /
     mlevel_sph_forces: (ReducedForces, (gx, gy, gz, phi) near-gravity
@@ -626,7 +682,11 @@ def block_sph_forces(
     axis (under shard_map): work-sharding — inputs replicated, each of
     `n_shards` devices sweeps its contiguous slice of every bucket's
     block list, per-row outputs psum-combined (each real row is written
-    by exactly one device; sentinel blocks contribute zeros)."""
+    by exactly one device; sentinel blocks contribute zeros).
+
+    idx_tables: precomputed build_cand_tables output (this device's
+    slice, same axis/n_shards) — chunk runners hoist the build out of
+    the step scan; None rebuilds per call (standalone/test use)."""
     buckets, oct_grids, runs_zy, g_mesh = spec
     n = pos.shape[0]
     dtype = pos.dtype
@@ -662,16 +722,7 @@ def block_sph_forces(
     ])  # (n_oct,)
 
     # shard slicer over each bucket's block list
-    if axis is not None:
-        shard_at = lax.axis_index(axis)
-
-        def shard_blocks(nb):
-            k = nb // n_shards
-            return shard_at * k, k
-    else:
-
-        def shard_blocks(nb):
-            return 0, nb
+    shard_blocks = _shard_slicer(axis, n_shards)
 
     # ---- phase A: exact r_k + rho per packed-query row ----
     Hq = jnp.zeros((oq.shape[0],), dtype)
@@ -719,13 +770,16 @@ def block_sph_forces(
         b0 = jnp.asarray(b0, jnp.int32)
         z32 = jnp.zeros((), jnp.int32)
         boxes_s = lax.dynamic_slice(bx, (b0, z32, z32), (nb_s, n_oct, 6))
-        idx_all = lax.map(
-            lambda bb, C_b=C_b, rz=rz: _cand_indices(
-                bb, bargs.starts, rz, n, C_b
-            ),
-            boxes_s,
-            batch_size=min(32, nb_s),
-        )  # (nb_s, C_b)
+        if idx_tables is not None:
+            idx_all = idx_tables[bi]  # (nb_s, C_b), hoisted per chunk
+        else:
+            idx_all = lax.map(
+                lambda bb, C_b=C_b, rz=rz: _cand_indices(
+                    bb, bargs.starts, rz, n, C_b
+                ),
+                boxes_s,
+                batch_size=min(32, nb_s),
+            )  # (nb_s, C_b)
         bucket_geo.append((C_b, nb, b0, nb_s, blk_base, idx_all, boxes_s))
         blk_base += nb * BQ
 

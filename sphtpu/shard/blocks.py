@@ -29,7 +29,7 @@ import numpy as np
 from jax.sharding import Mesh
 
 from ..engine.config import EngineConfig, Params
-from ..physics.blocks import BlockArgs, block_sph_forces
+from ..physics.blocks import BlockArgs, block_sph_forces, build_cand_tables
 from .mlevel import _make_workshard_chunk_runner
 from .tiles import AXIS
 
@@ -63,13 +63,21 @@ def make_blocks_chunk_runner(cfg: EngineConfig, mesh: Mesh):
         else jax.default_backend() == "tpu" and cfg.dtype == "float32"
     )
 
-    def engine_force(p: Params, pos, vel, K, h_hint, bargs):
+    def engine_force(p: Params, pos, vel, K, h_hint, bargs, aux):
         return block_sph_forces(
             pos, vel, p.m, K, h_hint, bargs,
             eos=cfg.eos, gamma=p.gamma, cs0=p.cs0, alpha=p.alpha,
             beta=p.beta, kh=cfg.kh, spec=cfg.blocks, gravity=cfg.gravity,
             mesh_factor=cfg.mesh_factor, sigma_cells=cfg.sigma_cells,
             axis=AXIS, n_shards=n_shards, pallas_a=use_pallas,
+            idx_tables=aux,
         )
 
-    return _make_workshard_chunk_runner(cfg, mesh, engine_force)
+    def make_aux(bargs):
+        # this device's slice of the candidate index tables, built once
+        # per chunk outside the step scan
+        return build_cand_tables(
+            bargs, cfg.blocks, cfg.n, axis=AXIS, n_shards=n_shards
+        )
+
+    return _make_workshard_chunk_runner(cfg, mesh, engine_force, make_aux)

@@ -157,7 +157,7 @@ def make_ml_chunk_runner(cfg: EngineConfig, mesh: Mesh):
         and prestack_ml <= 1.6e9
     )
 
-    def engine_force(p: Params, pos, vel, K, h_hint, mlargs):
+    def engine_force(p: Params, pos, vel, K, h_hint, mlargs, aux):
         return mlevel_sph_forces(
             pos, vel, p.m, K, h_hint, mlargs,
             eos=cfg.eos, gamma=p.gamma, cs0=p.cs0, alpha=p.alpha,
@@ -169,17 +169,22 @@ def make_ml_chunk_runner(cfg: EngineConfig, mesh: Mesh):
     return _make_workshard_chunk_runner(cfg, mesh, engine_force)
 
 
-def _make_workshard_chunk_runner(cfg: EngineConfig, mesh: Mesh, engine_force):
+def _make_workshard_chunk_runner(
+    cfg: EngineConfig, mesh: Mesh, engine_force, make_aux=None
+):
     """Generic work-sharded chunk runner: replicated state, the engine's
     flat work lists split across the mesh by `engine_force` (which must
     psum its per-row outputs internally), far field row-sharded (exact)
     or replicated (p3m mesh). Shared by the strip-sharded multi-level
-    engine and the block-compact engine (shard/blocks.py)."""
+    engine and the block-compact engine (shard/blocks.py). make_aux:
+    optional per-chunk hook (mlargs -> aux) run once per chunk inside
+    shard_map, outside the step scan — the block engine hoists its
+    candidate index tables here."""
     n_shards = int(np.prod(mesh.devices.shape))
     p3m = cfg.gravity == "p3m"
 
-    def force(p: Params, pos, vel, K, h_hint, mlargs, ghat):
-        tf, gcorr, ok = engine_force(p, pos, vel, K, h_hint, mlargs)
+    def force(p: Params, pos, vel, K, h_hint, mlargs, ghat, aux):
+        tf, gcorr, ok = engine_force(p, pos, vel, K, h_hint, mlargs, aux)
         if p3m:
             gmesh, phim = p3m_mesh_force(
                 pos, p.m, ghat, gm=cfg.mesh_gm, pad=cfg.mesh_pad
@@ -192,12 +197,12 @@ def _make_workshard_chunk_runner(cfg: EngineConfig, mesh: Mesh, engine_force):
             phi = phin + gcorr[3]
         return tf.acc - g, tf, phi, ok
 
-    def step_once(st: State, p: Params, h_hint, mlargs, ghat):
+    def step_once(st: State, p: Params, h_hint, mlargs, ghat, aux):
         """One KDK step (engine/step.make_step semantics); returns
         (state', stats, h, rho, ok) — the caller must not commit the step
         when ok is False."""
         pos, vel, K = st.pos, st.vel, st.K
-        acc, sf, phi, ok1 = force(p, pos, vel, K, h_hint, mlargs, ghat)
+        acc, sf, phi, ok1 = force(p, pos, vel, K, h_hint, mlargs, ghat, aux)
         dt = _adaptive_dt(p, sf, acc, vel)
         vel_r2 = jnp.sum(vel * vel, axis=1)
         stats = _diagnostics(cfg, p, st, sf, phi, vel_r2)
@@ -206,7 +211,9 @@ def _make_workshard_chunk_runner(cfg: EngineConfig, mesh: Mesh, engine_force):
         vel_half = vel + acc * (dt / 2.0)
         if cfg.eos == "polytropic":
             K = evolve_K(K, sf.visc_dk, p.gamma, sf.rho, dt)
-        acc2, sf2, _, ok2 = force(p, pos_half, vel_half, K, sf.h, mlargs, ghat)
+        acc2, sf2, _, ok2 = force(
+            p, pos_half, vel_half, K, sf.h, mlargs, ghat, aux
+        )
         if cfg.eos == "polytropic":
             K = evolve_K(K, sf2.visc_dk, p.gamma, sf2.rho, dt)
         vel_new = vel + acc2 * dt
@@ -219,6 +226,7 @@ def _make_workshard_chunk_runner(cfg: EngineConfig, mesh: Mesh, engine_force):
         ghat = (
             greens_hat(cfg.mesh_pad, cfg.sigma_cells, dtype) if p3m else None
         )
+        aux = make_aux(mlargs) if make_aux is not None else None
 
         def body(carry, _):
             stc, alive, h, rho = carry
@@ -226,7 +234,9 @@ def _make_workshard_chunk_runner(cfg: EngineConfig, mesh: Mesh, engine_force):
 
             def do(args):
                 s_, h_, rho_ = args
-                s2, stats, h2, rho2, ok = step_once(s_, p, h_, mlargs, ghat)
+                s2, stats, h2, rho2, ok = step_once(
+                    s_, p, h_, mlargs, ghat, aux
+                )
                 s3 = jax.tree.map(lambda a, b: jnp.where(ok, a, b), s2, s_)
                 return (
                     s3, ok, jnp.where(ok, h2, h_), jnp.where(ok, rho2, rho_),

@@ -46,7 +46,15 @@ BENCH_STEPS = 10
 
 # vs_baseline denominator: bench_data/baseline_cpu.json, produced by
 # `python baseline_cpu.py 100000` (committed with its provenance there)
-HARD_STATE = os.path.join("bench_data", "bb_collapsed.npz")
+# hard-regime fixture: the deepest committed collapse state (round 3:
+# contrast ~1001, cut at the campaign's contrast peak; the round-2
+# contrast-395 state is kept for cross-round comparability)
+_HARD_DEEP = os.path.join("bench_data", "bb_collapsed_deep.npz")
+HARD_STATE = (
+    _HARD_DEEP
+    if os.path.exists(_HARD_DEEP)
+    else os.path.join("bench_data", "bb_collapsed.npz")
+)
 
 
 def build_state():

@@ -11,6 +11,7 @@ back via its certificate, never silently.
 import os
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -28,6 +29,10 @@ from sphtpu.physics.blocks import (
 
 FIXTURE = os.path.join(
     os.path.dirname(__file__), "..", "bench_data", "bb_collapsed.npz"
+)
+# round-3 deep fixture: contrast ~1001, cut at the campaign's peak
+FIXTURE_DEEP = os.path.join(
+    os.path.dirname(__file__), "..", "bench_data", "bb_collapsed_deep.npz"
 )
 
 
@@ -146,10 +151,12 @@ def test_blocks_isothermal():
     _assert_parity(red, gcorr, sf, g_soft, phi_soft, pos, m)
 
 
-def test_blocks_collapse_fixture_parity():
-    """blocks == gather on the committed deep-collapse state (subsampled
-    for the CPU suite; the full-N state runs on TPU via the bench)."""
-    d = np.load(FIXTURE)
+@pytest.mark.parametrize("fixture", [FIXTURE, FIXTURE_DEEP])
+def test_blocks_collapse_fixture_parity(fixture):
+    """blocks == gather on the committed deep-collapse states (contrast
+    ~395 and ~1001; subsampled for the CPU suite — the full-N states run
+    on TPU via the bench)."""
+    d = np.load(fixture)
     step = 5
     pos = d["pos"][::step].astype(np.float64)
     vel = d["vel"][::step].astype(np.float64)

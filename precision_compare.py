@@ -21,13 +21,25 @@ import numpy as np
 
 
 def load(path):
-    t, E, contrast = [], [], []
+    """Parse a campaign log, keeping rows in step-resume order.
+
+    collapse_run.py appends across crash-retries, so a log may contain
+    several lanes (each restarting from an earlier checkpoint). Later
+    rows supersede earlier ones at the same step: keep, per step number,
+    the LAST row — that is the lane that actually continued — then sort
+    by step. The result is strictly monotonic in t (np.interp needs it).
+    """
+    by_step = {}
     for line in open(path):
         r = json.loads(line)
-        t.append(r["t"])
-        E.append(r["E"])
-        contrast.append(r.get("contrast", 0.0))
-    return np.asarray(t), np.asarray(E), np.asarray(contrast)
+        by_step[r["steps"]] = r
+    rows = [by_step[s] for s in sorted(by_step)]
+    t = np.asarray([r["t"] for r in rows])
+    E = np.asarray([r["E"] for r in rows])
+    contrast = np.asarray([r.get("contrast", 0.0) for r in rows])
+    keep = np.ones(len(t), bool)
+    keep[1:] = np.diff(t) > 0
+    return t[keep], E[keep], contrast[keep]
 
 
 def main():

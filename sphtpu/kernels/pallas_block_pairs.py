@@ -42,9 +42,9 @@ def _kernel(
     scal_ref,  # SMEM (4,): m, alpha, beta, [sigma | r_c_now unused slot]
     rc_ref,  # SMEM (1,): r_c_now
     qx_ref, qy_ref, qz_ref, qvx_ref, qvy_ref, qvz_ref,
-    qm_ref, qh_ref, qrk2_ref, qrho_ref, qpor2_ref, qcs_ref,
+    qm_ref, qh_ref, qrho_ref, qpor2_ref, qcs_ref,
     cx_ref, cy_ref, cz_ref, cvx_ref, cvy_ref, cvz_ref,
-    cm_ref, ch_ref, crk2_ref, crho_ref, cpor2_ref,
+    cm_ref, ch_ref, crho_ref, cpor2_ref,
     # query-side outputs (1, qb, 1)
     ax_ref, ay_ref, az_ref, div_ref, mu_ref, visc_ref,
     gx_ref, gy_ref, gz_ref, gp_ref,
@@ -85,12 +85,13 @@ def _kernel(
     r = jnp.sqrt(d2)
     valid = (cm > 0) & (qm > 0)
 
-    qrk2 = qrk2_ref[0]
-    crk2 = crk2_ref[0]
-    fwd = valid & (d2 <= qrk2)
-
+    # r_k = 2h recomputed in-kernel ((2h)^2 rounds identically wherever
+    # it is squared), saving the rk2 gathers host-side
     qh = qh_ref[0]
     ch = ch_ref[0]
+    qrk2 = (2.0 * qh) * (2.0 * qh)
+    fwd = valid & (d2 <= qrk2)
+
     h_q = jnp.where(qh > 0, qh, 1.0)
     h_c = jnp.where(ch > 0, ch, 1.0)
     h_avg = 0.5 * (h_q + h_c)
@@ -142,8 +143,10 @@ def _kernel(
         tg, tp = newton_minus_mesh(d2, inv_r, sigma)
         cgp = cgp + jnp.where(valid, tg, 0.0)
         cpp = cpp + jnp.where(valid, tp, 0.0)
-    vq_r = jnp.maximum(jnp.sqrt(qrk2), r_c_now)
-    vc_r = jnp.maximum(jnp.sqrt(crk2), r_c_now)
+    # visibility radii from 2h directly (same formula on both sides, so
+    # per-pair ownership weights agree between owner and partner sweeps)
+    vq_r = jnp.maximum(2.0 * qh, r_c_now)
+    vc_r = jnp.maximum(2.0 * ch, r_c_now)
     w = jnp.where(r <= vq_r, jnp.where(r <= vc_r, 0.5, 1.0), 0.0)
     cgw = w * cgp
     cpw = w * cpp
@@ -164,8 +167,8 @@ def _kernel(
     jax.jit, static_argnames=("eos", "p3m", "cap", "interpret")
 )
 def phase_b_blocks(
-    qfields,  # 12-tuple of (nb, cap) query-side arrays (see _kernel order)
-    cfields,  # 11-tuple of (nb, C_b) candidate-side arrays
+    qfields,  # 11-tuple of (nb, cap) query-side arrays (see _kernel order)
+    cfields,  # 10-tuple of (nb, C_b) candidate-side arrays
     m, alpha, beta, sigma, r_c_now,
     *,
     eos: str,
@@ -245,7 +248,7 @@ def phase_b_blocks(
     outs = pl.pallas_call(
         functools.partial(_kernel, eos=eos, p3m=p3m),
         grid=(nb, n_jb),
-        in_specs=[s_spec, s_spec] + [q_spec] * 12 + [c_spec] * 11,
+        in_specs=[s_spec, s_spec] + [q_spec] * 11 + [c_spec] * 10,
         out_specs=[qo_spec] * 10 + [co_spec] * 8,
         out_shape=[qo_shape] * 10 + [co_shape] * 8,
         interpret=interpret,

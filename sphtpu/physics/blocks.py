@@ -709,6 +709,11 @@ def block_sph_forces(
     vq = padrow(vel.astype(dtype))[oq]
     vc = vel[oc]
     qmask = (oq < n).astype(dtype)
+    # planar packed-query coordinates: pair tiles work on per-axis
+    # (BQ, C_b) planes ((X, 3)-trailing arrays lane-pad 3->128 on TPU,
+    # same lesson as physics/gravity.py)
+    pqx, pqy, pqz = pq[:, 0], pq[:, 1], pq[:, 2]
+    vqx, vqy, vqz = vq[:, 0], vq[:, 1], vq[:, 2]
 
     # drift since plan, per octave segment (candidate order is octave-major;
     # octave segment ends are the last entries of each prefix table)
@@ -728,12 +733,10 @@ def block_sph_forces(
     Hq = jnp.zeros((oq.shape[0],), dtype)
     RHOq = jnp.zeros((oq.shape[0],), dtype)
     rows_ok = jnp.asarray(True)
-    pcp = padrow(pc)  # sentinel candidate at index n
-    cmaskp = jnp.concatenate([jnp.ones((n,), dtype), jnp.zeros((1,), dtype)])
 
     s_os = [2.0 * half_ref / g_o for g_o in oct_grids]
 
-    def covered_radii(qpos, qm, box):
+    def covered_radii(qx, qy, qz, qm, box):
         """(B, n_oct) guaranteed-coverage radius of each query against its
         block's octave box (0 where the box is empty/sentinel). A box side
         sitting on the grid edge covers to infinity on that side: binning
@@ -744,19 +747,24 @@ def block_sph_forces(
             s_o = s_os[o]
             g_o = oct_grids[o]
             x0, x1, y0, y1, z0, z1 = (box[o, i] for i in range(6))
-            lof = jnp.stack([x0, y0, z0]).astype(dtype)
-            hif = jnp.stack([x1, y1, z1]).astype(dtype)
-            lo = lof * s_o - half_ref
-            hi = (hif + 1.0) * s_o - half_ref
-            at_lo = jnp.stack([x0, y0, z0]) == 0
-            at_hi = jnp.stack([x1, y1, z1]) == g_o - 1
-            d_lo = jnp.where(at_lo[None, :], big, qpos - lo[None, :])
-            d_hi = jnp.where(at_hi[None, :], big, hi[None, :] - qpos)
-            c = jnp.minimum(d_lo, d_hi).min(axis=1)
+            c = jnp.full(qx.shape, big, dtype)
+            for q_ax, lo_i, hi_i in ((qx, x0, x1), (qy, y0, y1), (qz, z0, z1)):
+                lo = lo_i.astype(dtype) * s_o - half_ref
+                hi = (hi_i.astype(dtype) + 1.0) * s_o - half_ref
+                d_lo = jnp.where(lo_i == 0, big, q_ax - lo)
+                d_hi = jnp.where(hi_i == g_o - 1, big, hi - q_ax)
+                c = jnp.minimum(c, jnp.minimum(d_lo, d_hi))
             covs.append(
                 jnp.where((x1 >= x0) & (qm > 0), jnp.maximum(c, 0.0), 0.0)
             )
         return jnp.stack(covs, axis=1)
+
+    # planar padded candidate coordinates (sentinel at index n): gathered
+    # ONCE per bucket and shared by BOTH phases (below); the candidate
+    # mask needs no gather at all — it is idx < n
+    pcxp = padrow(pc[:, 0])
+    pcyp = padrow(pc[:, 1])
+    pczp = padrow(pc[:, 2])
 
     # per-bucket candidate index tables + bulk prestacked gathers: the
     # index build (run expansion) and HBM gathers run ONCE per bucket as
@@ -764,7 +772,7 @@ def block_sph_forces(
     # per-block gathers measured ~0.5 s/eval slower (same lesson as the
     # strip engines' Pallas prestack)
     blk_base = 0
-    bucket_geo = []  # (C_b, nb, b0, nb_s, q_base, idx_all, boxes_s)
+    bucket_geo = []  # (C_b, nb, b0, nb_s, q_base, idx_all, boxes_s, cpre)
     for bi, ((C_b, nb), bx, rz) in enumerate(zip(buckets, bargs.boxes, runs_zy)):
         b0, nb_s = shard_blocks(nb)
         b0 = jnp.asarray(b0, jnp.int32)
@@ -780,7 +788,11 @@ def block_sph_forces(
                 boxes_s,
                 batch_size=min(32, nb_s),
             )  # (nb_s, C_b)
-        bucket_geo.append((C_b, nb, b0, nb_s, blk_base, idx_all, boxes_s))
+        cpre = (
+            pcxp[idx_all], pcyp[idx_all], pczp[idx_all],
+            (idx_all < n).astype(dtype),
+        )
+        bucket_geo.append((C_b, nb, b0, nb_s, blk_base, idx_all, boxes_s, cpre))
         blk_base += nb * BQ
 
     def qslab(arr, q_base, b0, nb_s, width=None):
@@ -801,16 +813,14 @@ def block_sph_forces(
     # cover "to infinity" — so min(reach, diam) is both a convergent
     # bisection seed AND an exact certification bound
     diam = 2.0 * jnp.sqrt(jnp.asarray(3.0, dtype)) * half_ref * 1.5
-    if use_pallas:
-        pcxp = padrow(pc[:, 0])
-        pcyp = padrow(pc[:, 1])
-        pczp = padrow(pc[:, 2])
+    if use_pallas or (_PB or pallas_interpret):
         vcxp = padrow(vc[:, 0])
         vcyp = padrow(vc[:, 1])
         vczp = padrow(vc[:, 2])
 
     a_results = []
-    for (C_b, nb, b0, nb_s, q_base, idx_all, boxes_s) in bucket_geo:
+    for (C_b, nb, b0, nb_s, q_base, idx_all, boxes_s, cpre) in bucket_geo:
+        cxg, cyg, czg, cmg = cpre
         if use_pallas:
             # VMEM-resident kernel (kernels/pallas_strip_knn.py): d2 is
             # computed once on-chip per query block and the whole
@@ -820,9 +830,11 @@ def block_sph_forces(
             # fixture (17 bisection passes re-reading d2m)
             from ..kernels.pallas_strip_knn import phase_a_cells
 
-            qp3 = qslab(pq, q_base, b0, nb_s)  # (nb_s, BQ, 3)
+            qxs = qslab(pqx, q_base, b0, nb_s)  # (nb_s, BQ)
+            qys = qslab(pqy, q_base, b0, nb_s)
+            qzs = qslab(pqz, q_base, b0, nb_s)
             qms = qslab(qmask, q_base, b0, nb_s)
-            cov = jax.vmap(covered_radii)(qp3, qms, boxes_s)
+            cov = jax.vmap(covered_radii)(qxs, qys, qzs, qms, boxes_s)
             reach = jnp.maximum(
                 jnp.min(
                     jnp.where(cov > 0, cov - dmax_o[None, None, :], big),
@@ -832,10 +844,9 @@ def block_sph_forces(
             )
             r2 = jnp.minimum(reach, diam) ** 2
             h_b, rho_b, ok_b = phase_a_cells(
-                (qp3[..., 0], qp3[..., 1], qp3[..., 2], qms),
+                (qxs, qys, qzs, qms),
                 r2,
-                (pcxp[idx_all], pcyp[idx_all], pczp[idx_all],
-                 cmaskp[idx_all]),
+                (cxg, cyg, czg, cmg),
                 m,
                 kh=kh,
                 cap=BQ,
@@ -849,16 +860,15 @@ def block_sph_forces(
             a_results.append((h_b, rho_b, ok_b, q_base, b0, nb_s, nb))
             continue
 
-        cx_all = pcp[idx_all]  # (nb_s, C_b, 3)
-        cm_all = cmaskp[idx_all]
-
         def phase_a(slab):
-            qpos, qm, cx, cm, box = slab
-            d = qpos[:, None, :] - cx[None, :, :]
-            d2 = jnp.sum(d * d, axis=-1)
+            qx, qy, qz, qm, cx, cy, cz, cm, box = slab
+            dx = qx[:, None] - cx[None, :]
+            dy = qy[:, None] - cy[None, :]
+            dz = qz[:, None] - cz[None, :]
+            d2 = dx * dx + dy * dy + dz * dz
             valid = (cm[None, :] > 0) & (qm[:, None] > 0)
             d2m = jnp.where(valid, d2, big)
-            cov = covered_radii(qpos, qm, box)  # (B, n_oct)
+            cov = covered_radii(qx, qy, qz, qm, box)  # (B, n_oct)
             reach = jnp.min(
                 jnp.where(cov > 0, cov - dmax_o[None, :], big), axis=1
             )
@@ -883,10 +893,14 @@ def block_sph_forces(
             return h_t, rho_t, row_ok.astype(dtype)
 
         xs = (
-            qslab(pq, q_base, b0, nb_s),
+            qslab(pqx, q_base, b0, nb_s),
+            qslab(pqy, q_base, b0, nb_s),
+            qslab(pqz, q_base, b0, nb_s),
             qslab(qmask, q_base, b0, nb_s),
-            cx_all,
-            cm_all,
+            cxg,
+            cyg,
+            czg,
+            cmg,
             boxes_s,
         )
         h_b, rho_b, ok_b = lax.map(phase_a, xs, batch_size=BMAP)
@@ -918,23 +932,20 @@ def block_sph_forces(
         P_row = cs0 * cs0 * rho_safe
         cs_row = jnp.full((n_rows,), cs0, dtype)
     por2_row = P_row / (rho_safe * rho_safe)
-    rk2_row = (2.0 * Hrow) ** 2
 
-    rk2_c = rk2_row[oc]
-
-    # candidate-order packed fields for phase B
+    # candidate-order packed fields for phase B. The kNN ball radius
+    # r_k = 2h is recomputed from h inside the pair tiles (2*h is exact
+    # and (2h)^2 rounds identically wherever it is computed), so no rk2
+    # field is packed or gathered.
     hc = Hrow[oc]
     rhoc = RHOrow[oc]
     por2c = por2_row[oc]
     hcp = padrow(hc)
-    rk2cp = padrow(rk2_c)
     rhocp = padrow(rhoc, 1.0)
     por2cp = padrow(por2c)
-    vcp = padrow(vc)
 
     # query-order packed fields
     hq_full = padrow(Hrow)[oq]
-    rk2q_full = padrow(rk2_row)[oq]
     rhoq_full = padrow(RHOrow, 1.0)[oq]
     por2q_full = padrow(por2_row)[oq]
     csq_full = padrow(cs_row)[oq]
@@ -960,7 +971,8 @@ def block_sph_forces(
     # ownership weights (0.5 when both rows see the pair, 1 when only
     # one does) so each pair integrates exactly once.
     b_results = []
-    for (C_b, nb, b0, nb_s, q_base, idx_all, boxes_s) in bucket_geo:
+    for (C_b, nb, b0, nb_s, q_base, idx_all, boxes_s, cpre) in bucket_geo:
+        cxg, cyg, czg, cmg = cpre
         if (_PB or pallas_interpret) and use_pallas and _PHASE != "a":
             # VMEM-resident phase B (kernels/pallas_block_pairs.py): one
             # pass over the (BQ, C_b) pair tile produces all 10 query
@@ -969,23 +981,26 @@ def block_sph_forces(
             # slightly faster on the chip
             from ..kernels.pallas_block_pairs import phase_b_blocks
 
-            qp3 = qslab(pq, q_base, b0, nb_s)
-            qv3 = qslab(vq, q_base, b0, nb_s)
+            qxs = qslab(pqx, q_base, b0, nb_s)
+            qys = qslab(pqy, q_base, b0, nb_s)
+            qzs = qslab(pqz, q_base, b0, nb_s)
             qms = qslab(qmask, q_base, b0, nb_s)
+            qhs = qslab(hq_full, q_base, b0, nb_s)
             qf = (
-                qp3[..., 0], qp3[..., 1], qp3[..., 2],
-                qv3[..., 0], qv3[..., 1], qv3[..., 2],
+                qxs, qys, qzs,
+                qslab(vqx, q_base, b0, nb_s),
+                qslab(vqy, q_base, b0, nb_s),
+                qslab(vqz, q_base, b0, nb_s),
                 qms,
-                qslab(hq_full, q_base, b0, nb_s),
-                qslab(rk2q_full, q_base, b0, nb_s),
+                qhs,
                 qslab(rhoq_full, q_base, b0, nb_s),
                 qslab(por2q_full, q_base, b0, nb_s),
                 qslab(csq_full, q_base, b0, nb_s),
             )
             cf = (
-                pcxp[idx_all], pcyp[idx_all], pczp[idx_all],
+                cxg, cyg, czg,
                 vcxp[idx_all], vcyp[idx_all], vczp[idx_all],
-                cmaskp[idx_all], hcp[idx_all], rk2cp[idx_all],
+                cmg, hcp[idx_all],
                 rhocp[idx_all], por2cp[idx_all],
             )
             qouts, couts = phase_b_blocks(
@@ -993,7 +1008,7 @@ def block_sph_forces(
                 eos=eos, p3m=p3m, cap=BQ, interpret=pallas_interpret,
             )
             # certificate (pair-tile-free; same as the XLA path's)
-            cov = jax.vmap(covered_radii)(qp3, qms, boxes_s)
+            cov = jax.vmap(covered_radii)(qxs, qys, qzs, qms, boxes_s)
             reach = jnp.maximum(
                 jnp.min(
                     jnp.where(cov > 0, cov - dmax_o[None, None, :], big),
@@ -1001,33 +1016,38 @@ def block_sph_forces(
                 ),
                 0.0,
             )
-            need = jnp.maximum(
-                jnp.sqrt(qslab(rk2q_full, q_base, b0, nb_s)), r_c_now
-            )
+            need = jnp.maximum(2.0 * qhs, r_c_now)
             ok_b = ((qms <= 0) | (need <= reach)).astype(dtype)
             outs = qouts + (ok_b,) + couts
             b_results.append((outs, q_base, b0, nb_s, idx_all))
             continue
 
-        cand = (
-            pcp[idx_all], vcp[idx_all], cmaskp[idx_all], hcp[idx_all],
-            rk2cp[idx_all], rhocp[idx_all], por2cp[idx_all],
+        # candidate-order packed fields (planar; cm/cx/cy/cz shared with
+        # phase A via cpre — no re-gather, no mask gather at all)
+        vcg = tuple(padrow(vc[:, a])[idx_all] for a in range(3))
+        cand = (cxg, cyg, czg) + vcg + (
+            cmg, hcp[idx_all], rhocp[idx_all], por2cp[idx_all],
         )
         qs = tuple(
             qslab(a, q_base, b0, nb_s)
-            for a in (pq, vq, qmask, hq_full, rk2q_full, rhoq_full,
-                      por2q_full, csq_full)
+            for a in (pqx, pqy, pqz, vqx, vqy, vqz, qmask, hq_full,
+                      rhoq_full, por2q_full, csq_full)
         )
 
         def phase_b(slab):
-            (qpos, qvel, qm, qh, qrk2, qrho, qpor2, qcs,
-             cx, cv, cm, ch, crk2, crho, cpor2, box) = slab
+            (qx, qy, qz, qvx, qvy, qvz, qm, qh, qrho, qpor2, qcs,
+             cx, cy, cz, cvx, cvy, cvz, cm, ch, crho, cpor2, box) = slab
 
-            d = qpos[:, None, :] - cx[None, :, :]
-            d2 = jnp.sum(d * d, axis=-1)
+            dx = qx[:, None] - cx[None, :]
+            dy = qy[:, None] - cy[None, :]
+            dz = qz[:, None] - cz[None, :]
+            d2 = dx * dx + dy * dy + dz * dz
             r = jnp.sqrt(d2)
             valid = (cm[None, :] > 0) & (qm[:, None] > 0)
 
+            # r_k = 2h recomputed in-tile: bit-identical to a packed rk2
+            # ((2h)^2 rounds the same wherever it is squared)
+            qrk2 = (2.0 * qh) ** 2
             fwd = valid & (d2 <= qrk2[:, None])
 
             h_q = jnp.where(qh > 0, qh, 1.0)[:, None]
@@ -1035,8 +1055,10 @@ def block_sph_forces(
             h_avg = 0.5 * (h_q + h_c)
             rho_avg = jnp.where(valid, 0.5 * (qrho[:, None] + crho[None, :]), 1.0)
 
-            dv = qvel[:, None, :] - cv[None, :, :]
-            v_dot_r = jnp.sum(dv * d, axis=-1)
+            dvx = qvx[:, None] - cvx[None, :]
+            dvy = qvy[:, None] - cvy[None, :]
+            dvz = qvz[:, None] - cvz[None, :]
+            v_dot_r = dvx * dx + dvy * dy + dvz * dz
             mu = jnp.minimum(h_avg * v_dot_r / (d2 + 0.01 * h_avg**2), 0.0)
             # viscosity with the BALL OWNER's sound speed: this is
             # pi_fwd for the owner AND pi_rev for the partner (the
@@ -1055,13 +1077,16 @@ def block_sph_forces(
                 ct_own = m * (qpor2[:, None] + pi_own / 2.0)
 
             coeff = jnp.where(fwd, ct_own * dwdr_q, 0.0)
-            ax = jnp.sum(-coeff * d[..., 0], axis=-1)
-            ay = jnp.sum(-coeff * d[..., 1], axis=-1)
-            az = jnp.sum(-coeff * d[..., 2], axis=-1)
+            cdx = coeff * dx
+            cdy = coeff * dy
+            cdz = coeff * dz
+            ax = -jnp.sum(cdx, axis=-1)
+            ay = -jnp.sum(cdy, axis=-1)
+            az = -jnp.sum(cdz, axis=-1)
             # partner halves: acc_c += +coeff * d (direction flips)
-            sax = jnp.sum(coeff * d[..., 0], axis=0)
-            say = jnp.sum(coeff * d[..., 1], axis=0)
-            saz = jnp.sum(coeff * d[..., 2], axis=0)
+            sax = jnp.sum(cdx, axis=0)
+            say = jnp.sum(cdy, axis=0)
+            saz = jnp.sum(cdz, axis=0)
 
             v_dot_dw_q = v_dot_r * dwdr_q
             div_t = m * jnp.sum(jnp.where(fwd, v_dot_dw_q, 0.0), axis=-1)
@@ -1084,26 +1109,32 @@ def block_sph_forces(
                 tg, tp = newton_minus_mesh(d2, inv_r, sigma)
                 cgp = cgp + jnp.where(valid, tg, 0.0)
                 cpp = cpp + jnp.where(valid, tp, 0.0)
-            vq_r = jnp.maximum(jnp.sqrt(qrk2), r_c_now)[:, None]
-            vc_r = jnp.maximum(jnp.sqrt(crk2), r_c_now)[None, :]
+            # visibility radii from 2h directly (both sides use the same
+            # formula, so the per-pair ownership weights stay consistent
+            # between the owner's and the partner's sweeps)
+            vq_r = jnp.maximum(2.0 * qh, r_c_now)[:, None]
+            vc_r = jnp.maximum(2.0 * ch, r_c_now)[None, :]
             w = jnp.where(
                 r <= vq_r, jnp.where(r <= vc_r, 0.5, 1.0), 0.0
             )
             cgw = w * cgp
             cpw = w * cpp
-            gx_t = m * jnp.sum(cgw * d[..., 0], axis=-1)
-            gy_t = m * jnp.sum(cgw * d[..., 1], axis=-1)
-            gz_t = m * jnp.sum(cgw * d[..., 2], axis=-1)
+            gwx = cgw * dx
+            gwy = cgw * dy
+            gwz = cgw * dz
+            gx_t = m * jnp.sum(gwx, axis=-1)
+            gy_t = m * jnp.sum(gwy, axis=-1)
+            gz_t = m * jnp.sum(gwz, axis=-1)
             gp_t = m * jnp.sum(cpw, axis=-1)
-            sgx = -m * jnp.sum(cgw * d[..., 0], axis=0)
-            sgy = -m * jnp.sum(cgw * d[..., 1], axis=0)
-            sgz = -m * jnp.sum(cgw * d[..., 2], axis=0)
+            sgx = -m * jnp.sum(gwx, axis=0)
+            sgy = -m * jnp.sum(gwy, axis=0)
+            sgz = -m * jnp.sum(gwz, axis=0)
             sgp = m * jnp.sum(cpw, axis=0)
 
             # certificates: per row x octave coverage of the fwd ball
             # and the p3m tail radius, against measured drift
-            cov = covered_radii(qpos, qm, box)  # (B, n_oct)
-            need = jnp.maximum(jnp.sqrt(qrk2), r_c_now)[:, None]
+            cov = covered_radii(qx, qy, qz, qm, box)  # (B, n_oct)
+            need = jnp.maximum(2.0 * qh, r_c_now)[:, None]
             ok_row = jnp.all(
                 (qm[:, None] <= 0) | (need + dmax_o[None, :] <= cov),
                 axis=1,

@@ -472,6 +472,11 @@ def _lcm(a, b):
     return a * b // math.gcd(a, b)
 
 
+# why the last block_args_for_spec call returned None (diagnostics only;
+# read by the campaign driver's logs and the replan-churn bench notes)
+LAST_REFIT_FAIL = None
+
+
 def block_args_for_spec(pos, h, spec, *, gravity="exact", mesh_factor=5,
                         sigma_cells=2.2):
     """Refresh BlockArgs for an ALREADY-COMPILED spec from the current
@@ -480,6 +485,8 @@ def block_args_for_spec(pos, h, spec, *, gravity="exact", mesh_factor=5,
     bucket's static run extents, or the octave count changed). This is
     the compile hysteresis: grids and bucket shapes come from the spec;
     only the traced contents (packing, boxes, prefix tables) rebuild."""
+    global LAST_REFIT_FAIL
+    LAST_REFIT_FAIL = None
     pos = np.asarray(pos, np.float64)
     h = np.asarray(h, np.float64)
     buckets, oct_grids, runs_zy, gf = spec
@@ -489,12 +496,14 @@ def block_args_for_spec(pos, h, spec, *, gravity="exact", mesh_factor=5,
         max(int(math.ceil(math.log2(rk_max / rk_min + 1e-12))) + 1, 1), 8
     )
     if n_oct_now != len(oct_grids):
+        LAST_REFIT_FAIL = f"octaves {len(oct_grids)} -> {n_oct_now}"
         return None
     geo = _geometry(
         pos, h, oct_grids, gf,
         gravity=gravity, mesh_factor=mesh_factor, sigma_cells=sigma_cells,
     )
     if geo is None:
+        LAST_REFIT_FAIL = "geometry infeasible (creq/block-split over menu)"
         return None
     # first-fit each block into the cheapest bucket it fits (capacity,
     # static run extents, free slots)
@@ -519,6 +528,11 @@ def block_args_for_spec(pos, h, spec, *, gravity="exact", mesh_factor=5,
             placed = True
             break
         if not placed:
+            LAST_REFIT_FAIL = (
+                f"block unplaceable: cnt={int(cnt[b])} "
+                f"ext={ext[b].tolist()} slots_left={slots_left} "
+                f"buckets={buckets} runs={runs_zy}"
+            )
             return None
     assign = []
     for (cb, nb), ids in zip(buckets, assign_lists):

@@ -58,6 +58,7 @@ from __future__ import annotations
 import functools
 import math
 import os
+import threading
 from typing import NamedTuple
 
 import jax
@@ -472,9 +473,16 @@ def _lcm(a, b):
     return a * b // math.gcd(a, b)
 
 
-# why the last block_args_for_spec call returned None (diagnostics only;
-# read by the campaign driver's logs and the replan-churn bench notes)
-LAST_REFIT_FAIL = None
+# why the last block_args_for_spec call returned None (diagnostics only).
+# Thread-local so concurrent drivers (multi-chip / worker threads) cannot
+# attribute a failure to the wrong refit; read via last_refit_fail().
+_REFIT_TLS = threading.local()
+
+
+def last_refit_fail():
+    """Reason string for why this thread's last block_args_for_spec call
+    returned None (None when it succeeded or was never called)."""
+    return getattr(_REFIT_TLS, "reason", None)
 
 
 def block_args_for_spec(pos, h, spec, *, gravity="exact", mesh_factor=5,
@@ -485,8 +493,7 @@ def block_args_for_spec(pos, h, spec, *, gravity="exact", mesh_factor=5,
     bucket's static run extents, or the octave count changed). This is
     the compile hysteresis: grids and bucket shapes come from the spec;
     only the traced contents (packing, boxes, prefix tables) rebuild."""
-    global LAST_REFIT_FAIL
-    LAST_REFIT_FAIL = None
+    _REFIT_TLS.reason = None
     pos = np.asarray(pos, np.float64)
     h = np.asarray(h, np.float64)
     buckets, oct_grids, runs_zy, gf = spec
@@ -496,14 +503,14 @@ def block_args_for_spec(pos, h, spec, *, gravity="exact", mesh_factor=5,
         max(int(math.ceil(math.log2(rk_max / rk_min + 1e-12))) + 1, 1), 8
     )
     if n_oct_now != len(oct_grids):
-        LAST_REFIT_FAIL = f"octaves {len(oct_grids)} -> {n_oct_now}"
+        _REFIT_TLS.reason = f"octaves {len(oct_grids)} -> {n_oct_now}"
         return None
     geo = _geometry(
         pos, h, oct_grids, gf,
         gravity=gravity, mesh_factor=mesh_factor, sigma_cells=sigma_cells,
     )
     if geo is None:
-        LAST_REFIT_FAIL = "geometry infeasible (creq/block-split over menu)"
+        _REFIT_TLS.reason = "geometry infeasible (creq/block-split over menu)"
         return None
     # first-fit each block into the cheapest bucket it fits (capacity,
     # static run extents, free slots)
@@ -528,7 +535,7 @@ def block_args_for_spec(pos, h, spec, *, gravity="exact", mesh_factor=5,
             placed = True
             break
         if not placed:
-            LAST_REFIT_FAIL = (
+            _REFIT_TLS.reason = (
                 f"block unplaceable: cnt={int(cnt[b])} "
                 f"ext={ext[b].tolist()} slots_left={slots_left} "
                 f"buckets={buckets} runs={runs_zy}"

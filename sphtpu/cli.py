@@ -86,6 +86,20 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Run the sharded tile engine over this many devices "
                         "(1-D mesh, z-slab decomposition + ppermute halo "
                         "exchange). 1 = single-chip engine.")
+    p.add_argument("--multihost", action="store_true",
+                   help="Join a jax.distributed multi-process run: the mesh "
+                        "spans every process's devices (DCN between hosts), "
+                        "work-sharded engines carry the chunks, and only "
+                        "process 0 writes snapshots/stats/figures. "
+                        "Coordinator from --coordinator/--num-processes/"
+                        "--process-id or the standard JAX env vars (TPU pods "
+                        "auto-detect all three).")
+    p.add_argument("--coordinator", default=None,
+                   help="host:port of process 0's coordination service")
+    p.add_argument("--num-processes", type=int, default=None,
+                   help="Total process count for --multihost")
+    p.add_argument("--process-id", type=int, default=None,
+                   help="This process's index for --multihost")
     p.add_argument("--max-steps", type=int, default=None,
                    help="Stop after this many steps (debug/bench)")
     p.add_argument("--quiet", action="store_true", help="Suppress per-step prints")
@@ -135,6 +149,14 @@ def main(argv=None) -> int:
             return 1
         from .engine import run_simulation
 
+        if args.multihost:
+            from .shard import multihost as _mh
+
+            _mh.initialize(
+                coordinator_address=args.coordinator,
+                num_processes=args.num_processes,
+                process_id=args.process_id,
+            )
         print(
             f"Running {args.EOS} simulation from snapshot {args.snapID} "
             f"with IC type: {args.ic_type}"
@@ -151,6 +173,7 @@ def main(argv=None) -> int:
             engine=args.engine,
             gravity=args.gravity,
             n_devices=args.n_devices,
+            multihost=args.multihost,
             max_steps=args.max_steps,
             verbose=not args.quiet,
         )

@@ -86,6 +86,7 @@ def run_simulation(
     engine: str = "auto",
     gravity: str = "auto",
     n_devices: int = 1,
+    multihost: bool = False,
     max_steps: Optional[int] = None,
     verbose: bool = True,
 ) -> dict:
@@ -102,8 +103,34 @@ def run_simulation(
     ppermute halo exchange, sphtpu.shard.tiles) over a 1-D device mesh;
     slabs are re-planned between chunks and a chunk whose certification
     trips is re-planned and resumed (never wrong physics). Snapshot/stats
-    I/O is unchanged: state gathers to host at chunk boundaries."""
+    I/O is unchanged: state gathers to host at chunk boundaries.
+
+    multihost=True runs under an already-`initialize()`d
+    jax.distributed runtime (sphtpu.shard.multihost): the mesh spans
+    ALL processes' devices (process-major, so the work-sharded slices
+    stay on ICI and only the psums cross DCN), every process runs the
+    same deterministic host planning from the same replicated state,
+    and snapshot/stats/figure I/O happens on process 0 only. The
+    work-sharded engines (blocks/mlevel) carry the chunks; the z-slab
+    path is single-process-only (its state fetches gather to one host)
+    and is skipped."""
     start_wall = time.time()
+    mh = None
+    primary = True
+    if multihost:
+        from ..shard import multihost as mh  # noqa: F811
+
+        import jax
+
+        if jax.process_count() < 2:
+            raise ValueError(
+                "multihost=True requires jax.distributed to be "
+                "initialized across >1 processes (shard.multihost."
+                "initialize)"
+            )
+        primary = mh.is_primary()
+        verbose = verbose and primary
+        n_devices = jax.device_count()
     snap = read_snapshot(snapshot_path(root, ic_type, str(snap_id)))
     c = dict(snap["constants"])
     n = int(c["N"])
@@ -161,12 +188,15 @@ def run_simulation(
             unpack_rows,
         )
 
-        devs = jax.devices()[:n_devices]
-        if len(devs) < n_devices:
-            raise ValueError(
-                f"n_devices={n_devices} but only {len(devs)} devices visible"
-            )
-        mesh = Mesh(np.array(devs), (AXIS,))
+        if multihost:
+            mesh = mh.global_mesh()
+        else:
+            devs = jax.devices()[:n_devices]
+            if len(devs) < n_devices:
+                raise ValueError(
+                    f"n_devices={n_devices} but only {len(devs)} devices visible"
+                )
+            mesh = Mesh(np.array(devs), (AXIS,))
         _slab_cache = {}
         _slab_plans = []  # [(cfg_s, plan)], most recent first (hysteresis)
         _ml_cache = {}
@@ -225,7 +255,7 @@ def run_simulation(
             ):
                 cfg_s, plan = cfg_c, plan_c
                 break
-        if plan is None:
+        if plan is None and not multihost:
             plan = plan_slabs(
                 pos_host, h_host, kh, n_devices, chunk_steps=n_steps
             )
@@ -288,15 +318,33 @@ def run_simulation(
                     n=n, kh=kh, eos=eos, dtype=dtype, blocks=spec,
                     gravity=grav,
                 )
+        # multihost: inputs become global replicated arrays; outputs
+        # (replicated, hence not fully addressable) come back through
+        # host_local so the host planning/I-O below sees plain numpy
+        def _rep(tree):
+            return mh.replicate(tree, mesh) if multihost else tree
+
+        def _fetch(x):
+            return mh.host_local(x) if multihost else np.asarray(x)
+
+        def _fetch_state(st):
+            if not multihost:
+                return st
+            return State(*(jnp.asarray(mh.host_local(f)) for f in st))
+
         if cfg_bl is not None:
             chunk = get_blk_chunk(cfg_bl)
             state2, stats, valid, cert, h_rows, rho_rows = chunk(
-                state, params, jnp.asarray(h_host, jd),
-                blockargs_tree(bargs), n_steps=min(n_steps, ML_SUBCHUNK),
+                _rep(state), _rep(params),
+                _rep(jnp.asarray(np.asarray(h_host), jd)),
+                _rep(blockargs_tree(bargs)), n_steps=min(n_steps, ML_SUBCHUNK),
             )
-            h2 = np.asarray(h_rows, np.float64)
-            rho2 = np.asarray(rho_rows, np.float64)
-            cert_fired = bool(np.asarray(cert).any())
+            state2 = _fetch_state(state2)
+            stats = _fetch(stats)
+            valid = _fetch(valid)
+            h2 = _fetch(h_rows).astype(np.float64)
+            rho2 = _fetch(rho_rows).astype(np.float64)
+            cert_fired = bool(_fetch(cert).any())
             if cert_fired:
                 h2 = _fresh_h(state2)
             return state2, stats, valid, h2, rho2, cert_fired
@@ -326,12 +374,16 @@ def run_simulation(
         # note above); the outer loop's cadence logic handles the partial
         # chunk and the next iteration refreshes args via hysteresis
         state2, stats, valid, cert, h_rows, rho_rows = chunk(
-            state, params, jnp.asarray(h_host, jd), mlargs_tree(mlargs),
-            n_steps=min(n_steps, ML_SUBCHUNK),
+            _rep(state), _rep(params),
+            _rep(jnp.asarray(np.asarray(h_host), jd)),
+            _rep(mlargs_tree(mlargs)), n_steps=min(n_steps, ML_SUBCHUNK),
         )
-        h2 = np.asarray(h_rows, np.float64)
-        rho2 = np.asarray(rho_rows, np.float64)
-        cert_fired = bool(np.asarray(cert).any())
+        state2 = _fetch_state(state2)
+        stats = _fetch(stats)
+        valid = _fetch(valid)
+        h2 = _fetch(h_rows).astype(np.float64)
+        rho2 = _fetch(rho_rows).astype(np.float64)
+        cert_fired = bool(_fetch(cert).any())
         if cert_fired:
             h2 = _fresh_h(state2)
         return state2, stats, valid, h2, rho2, cert_fired
@@ -464,7 +516,11 @@ def run_simulation(
         h_host = np.zeros(n)
     h_dev = jnp.asarray(h_host, jd)
 
-    stats_file = StatsFile(os.path.join(root, "snapshots", ic_type, "stats"))
+    stats_file = (
+        StatsFile(os.path.join(root, "snapshots", ic_type, "stats"))
+        if primary
+        else None
+    )  # multihost: process-local I/O — only process 0 owns the files
 
     # Radial-profile sample line, fixed at startup (polytrope_sim.jl:131 /
     # isothermal_sim.jl:124).
@@ -652,7 +708,8 @@ def run_simulation(
         consec_fail = 0
         stats_cgs = _stats_to_cgs(stats_code[:n_valid], u)
         for j in range(n_valid):
-            stats_file.update_row(iter_id + j, stats_cgs[j])
+            if primary:
+                stats_file.update_row(iter_id + j, stats_cgs[j])
             if verbose:
                 row = stats_cgs[j]
                 if eos == "polytropic":
@@ -675,7 +732,7 @@ def run_simulation(
         # the reference cadence (snapshot only on true boundaries / at end)
         on_boundary = keep_snaps and n_valid == n_steps_full
         counter = 1 if on_boundary else counter + n_valid
-        if on_boundary or at_end:
+        if (on_boundary or at_end) and primary:
             with timer("snapshot_io"):
                 do_snapshot(last_iter, last_stats_code, rho_host)
 
@@ -685,7 +742,8 @@ def run_simulation(
     io_thread.join()
     if io_err:
         raise io_err[0]
-    stats_file.close()
+    if primary:
+        stats_file.close()
     runtime = time.time() - start_wall
     timer.report()
     if verbose:

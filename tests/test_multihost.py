@@ -1,0 +1,151 @@
+"""Multi-host (DCN) distribution layer: 2 processes x 4 virtual CPU
+devices over a localhost coordinator (Gloo collectives).
+
+The reference is single-process (SURVEY.md §2 parallelism checklist:
+no Distributed/MPI anywhere), so the bar here is self-consistency, not
+reference parity: the work-sharded block engine over the 2-process
+global mesh must equal the same chunk run sharded in ONE process at f64
+roundoff, and the driver's multihost mode must keep I/O process-local
+(only process 0 writes snapshots/stats) while both processes agree on
+the physics.
+"""
+
+import os
+import shutil
+import socket
+import subprocess
+import sys
+
+import numpy as np
+
+import jax
+from multihost_worker import fixture, run_force_chunk  # noqa: F401
+
+REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+WORKER = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _spawn_workers(mode, out, n_procs=2, extra=(), timeout=900):
+    port = _free_port()
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["JAX_ENABLE_X64"] = "1"
+    env["XLA_FLAGS"] = (
+        "--xla_force_host_platform_device_count=4"
+        " --xla_cpu_collective_timeout_seconds=600"
+    )
+    # drop the axon TPU plugin's sitecustomize: its register() call would
+    # claim the (single) TPU tunnel from both workers
+    env["PYTHONPATH"] = REPO + os.pathsep + os.path.dirname(__file__)
+    procs, logs = [], []
+    for pid in range(n_procs):
+        log = open(os.path.join(out, f"p{pid}.log"), "w")
+        logs.append(log)
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, WORKER, str(pid), str(n_procs),
+                 str(port), out, mode, *extra],
+                stdout=log, stderr=subprocess.STDOUT, env=env, cwd=REPO,
+            )
+        )
+    try:
+        for p in procs:
+            p.wait(timeout=timeout)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait()
+        for log in logs:
+            log.close()
+    for pid, p in enumerate(procs):
+        if p.returncode != 0:
+            tail = open(os.path.join(out, f"p{pid}.log")).read()[-2000:]
+            raise AssertionError(
+                f"worker {pid} exited {p.returncode}:\n{tail}"
+            )
+    return [np.load(os.path.join(out, f"p{pid}.npz")) for pid in range(n_procs)]
+
+
+def test_multihost_blocks_chunk_matches_single_process(tmp_path):
+    out = str(tmp_path)
+    o0, o1 = _spawn_workers("force", out)
+
+    # both processes hold the identical replicated result
+    for k in ("pos", "vel", "K", "t", "stats"):
+        np.testing.assert_array_equal(o0[k], o1[k])
+    assert bool(o0["primary"]) and not bool(o1["primary"])
+
+    # and it equals the same chunk sharded across THIS process's 8
+    # virtual devices (f64; only collective reduction order differs)
+    from jax.sharding import Mesh
+
+    from sphtpu.shard.tiles import AXIS
+
+    mesh = Mesh(np.array(jax.devices()[:8]), (AXIS,))
+    pos_ref, vel_ref, K_ref, t_ref, stats_ref = run_force_chunk(mesh)
+    np.testing.assert_allclose(o0["pos"], pos_ref, rtol=0, atol=1e-9)
+    np.testing.assert_allclose(o0["vel"], vel_ref, rtol=0, atol=1e-9)
+    np.testing.assert_allclose(o0["K"], K_ref, rtol=1e-12)
+    np.testing.assert_allclose(o0["stats"], stats_ref, rtol=1e-9, atol=1e-12)
+
+
+def test_multihost_driver_process_local_io(tmp_path):
+    """End-to-end run_simulation(multihost=True): both processes step the
+    same physics; only process 0 writes snapshots + stats."""
+    from sphtpu.scenes import iniconds_setup
+
+    root_mh = str(tmp_path / "mh")
+    root_ref = str(tmp_path / "ref")
+    os.makedirs(root_mh)
+    iniconds_setup(
+        "polytropic", "gaussian_sphere", root=root_mh, N=512, rng=3,
+    )
+    shutil.copytree(
+        os.path.join(root_mh, "snapshots"),
+        os.path.join(root_ref, "snapshots"),
+    )
+
+    bin_dir = os.path.join(root_mh, "snapshots", "gaussian_sphere", "bin")
+    stats_path = os.path.join(root_mh, "snapshots", "gaussian_sphere", "stats")
+    pre = set(os.listdir(bin_dir))
+
+    out = str(tmp_path / "out")
+    os.makedirs(out)
+    o0, o1 = _spawn_workers("driver", out, extra=(root_mh,))
+
+    # process 0 owns the I/O...
+    assert bool(o0["primary"]) and not bool(o1["primary"])
+    assert o0["snapshot_ids"].size > 0
+    assert o1["snapshot_ids"].size == 0
+    assert os.path.exists(stats_path)
+    post = set(os.listdir(bin_dir))
+    assert post > pre, "process 0 must have written new snapshots"
+
+    # ...and both processes agree on the physics
+    assert int(o0["steps"]) == int(o1["steps"]) == 4
+    np.testing.assert_array_equal(o0["pos"], o1["pos"])
+    np.testing.assert_allclose(o0["last_stats"], o1["last_stats"], rtol=0)
+
+    # the trajectory matches a single-process 8-device run of the same
+    # tree (work-sharded engines; f64 — only reduction order differs)
+    from sphtpu.engine import run_simulation
+
+    ref = run_simulation(
+        "polytropic", "gaussian_sphere", snap_id=1, snap_interval=2,
+        keep_snaps=True, show_plots=False, root=root_ref, dtype="float64",
+        n_devices=8, max_steps=4, verbose=False,
+    )
+    assert int(ref["steps"]) == 4
+    np.testing.assert_allclose(
+        np.asarray(ref["state"].pos, np.float64), o0["pos"],
+        rtol=0, atol=1e-9,
+    )

@@ -391,3 +391,54 @@ def test_blocks_pallas_phase_b_matches_xla():
             a, b = np.asarray(a), np.asarray(b)
             sc = np.abs(a).max() + 1e-30
             assert np.abs(a - b).max() / sc < 3e-6, (grav, name)
+
+
+def test_blocks_refit_margin_ladder():
+    """Two refit-survival properties at the contrast peak (round 4):
+
+    1. drift reserve — the top bucket's spare slot granule + global-max
+       run extents (plan_blocks) absorb a 2x uniform h inflation at the
+       FULL own-ball margin, with no replan (the round-3 bench paid 4
+       replans per 10-step window to exactly this failure);
+    2. ladder mechanism — when a rung's geometry cannot fit the
+       compiled shapes, block_args_for_spec falls through to the next
+       rung, and the degraded-margin args still certify exact and match
+       the gather oracle (the per-eval certificate, not the margin, is
+       what guards correctness)."""
+    import sphtpu.physics.blocks as B
+
+    pos, vel, K, h0 = _two_scale(n=2500, kh=16, seed=21)
+    n, kh = pos.shape[0], 16
+    res = plan_blocks(pos, h0, kh, gravity="exact")
+    assert res is not None
+    spec, _ = res
+
+    old_ladder = B.REFIT_MARGINS
+    try:
+        # 1. full-margin refit must hold through 2x uniform inflation
+        B.REFIT_MARGINS = (B.R_OWN_MARGIN,)
+        for f in np.arange(1.05, 2.01, 0.05):
+            assert block_args_for_spec(pos, h0 * f, spec) is not None, (
+                f"drift reserve must absorb uniform inflation x{f:.2f}"
+            )
+        # 2. an infeasibly wide first rung must fall through to the
+        # R_OWN_MARGIN rung (margin 20x inflates every requirement past
+        # the compiled shapes), producing usable args
+        B.REFIT_MARGINS = (20.0 * B.R_OWN_MARGIN, B.R_OWN_MARGIN)
+        f_break = 1.5
+        args2 = block_args_for_spec(pos, h0 * f_break, spec)
+    finally:
+        B.REFIT_MARGINS = old_ladder
+    assert args2 is not None, "margin ladder failed where it must hold"
+
+    # and the degraded-margin args still certify exact and match gather
+    P, V, Kj = map(jnp.asarray, (pos, vel, K))
+    H = jnp.asarray(h0 * f_break)
+    m = 1.0 / n
+    red, gcorr, ok = block_sph_forces(
+        P, V, m, Kj, H, _dev_args(args2), eos="polytropic", gamma=5 / 3,
+        cs0=0.0, alpha=1.0, beta=2.0, kh=kh, spec=spec,
+    )
+    assert bool(ok), "ladder refit must still certify"
+    sf, g_soft, phi_soft = _oracle(P, V, m, Kj, kh)
+    _assert_parity(red, gcorr, sf, g_soft, phi_soft, pos, m)

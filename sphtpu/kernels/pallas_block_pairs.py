@@ -32,8 +32,6 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .cubic_spline import grad_W_over_r
-from .gravity import softened_gphi_over_r, softened_phi
 from ..physics.mesh_gravity import newton_minus_mesh
 
 
@@ -82,7 +80,18 @@ def _kernel(
     dy = qy - cy
     dz = qz - cz
     d2 = dx * dx + dy * dy + dz * dz
-    r = jnp.sqrt(d2)
+    # division diet (round 4): the original body evaluated ~15-20
+    # PAIRWISE divisions per slot (the piecewise helpers divide by the
+    # pairwise h_avg and by r) — multi-cycle non-pipelined VPU ops that
+    # dominated the eval (~0.55 s of a 0.88 s force pass on the deep
+    # fixture). Everything below is rewritten on inv_r = rsqrt(d2) and
+    # inv_h = 1/h_avg with polynomials in q = r * inv_h: 1 rsqrt + 3
+    # reciprocals per tile, the rest multiplies. Bit-level parity with
+    # the XLA formulation is reassociation-only (pinned at 3e-6 by
+    # tests/test_blocks.py::test_blocks_pallas_phase_b_matches_xla).
+    inv_r = jax.lax.rsqrt(jnp.where(d2 > 0, d2, 1.0))
+    inv_r = jnp.where(d2 > 0, inv_r, 0.0)  # self-pairs: 1/r -> 0
+    r = d2 * inv_r
     valid = (cm > 0) & (qm > 0)
 
     # r_k = 2h recomputed in-kernel ((2h)^2 rounds identically wherever
@@ -95,16 +104,27 @@ def _kernel(
     h_q = jnp.where(qh > 0, qh, 1.0)
     h_c = jnp.where(ch > 0, ch, 1.0)
     h_avg = 0.5 * (h_q + h_c)
+    inv_h = 1.0 / h_avg  # pairwise, computed ONCE
     rho_avg = jnp.where(valid, 0.5 * (qrho_ref[0] + crho_ref[0]), 1.0)
 
     dvx = qvx_ref[0] - cvx_ref[0]
     dvy = qvy_ref[0] - cvy_ref[0]
     dvz = qvz_ref[0] - cvz_ref[0]
     v_dot_r = dvx * dx + dvy * dy + dvz * dz
-    mu = jnp.minimum(h_avg * v_dot_r / (d2 + 0.01 * h_avg * h_avg), 0.0)
-    pi_own = (-alpha * qcs_ref[0] * mu + beta * mu * mu) / rho_avg
+    mu = jnp.minimum(
+        h_avg * v_dot_r * (1.0 / (d2 + 0.01 * h_avg * h_avg)), 0.0
+    )
+    pi_own = (-alpha * qcs_ref[0] * mu + beta * mu * mu) * (1.0 / rho_avg)
 
-    dwdr_q = grad_W_over_r(r / h_q, r, h_q)
+    # grad_W(q)/r with q = r/h_q: h_q is a (qb, 1) ROW vector, so its
+    # reciprocal powers are cheap; the q<=2 branch's /r rides inv_r
+    inv_hq = 1.0 / h_q
+    inv_hq2 = inv_hq * inv_hq
+    ct_w = (1.0 / jnp.pi) * inv_hq2 * inv_hq2
+    q_w = r * inv_hq
+    g1 = ct_w * (2.25 * r * inv_hq2 - 3.0 * inv_hq)
+    g2 = ct_w * (-0.75 * (2.0 - q_w) ** 2) * inv_r
+    dwdr_q = jnp.where(q_w <= 1.0, g1, jnp.where(q_w <= 2.0, g2, 0.0))
 
     if eos == "polytropic":
         ct_own = m * (qpor2_ref[0] + cpor2_ref[0] + pi_own) / 2.0
@@ -131,15 +151,56 @@ def _kernel(
     visc_ref[0] = jnp.sum(visc_pair, axis=1, keepdims=True)
     svisc_ref[0] += jnp.sum(visc_pair, axis=0, keepdims=True)
 
-    # gravity corrections with two-sided ownership weights
-    r_safe = jnp.where(d2 > 0, r, 1.0)
-    newt_g = jnp.where(d2 > 0, 1.0 / (r_safe * r_safe * r_safe), 0.0)
-    newt_p = jnp.where(d2 > 0, -1.0 / r_safe, 0.0)
+    # gravity corrections with two-sided ownership weights — the
+    # softened cubic-spline kernels (kernels/gravity.py piecewise forms)
+    # inlined on inv_r/inv_h/q so every 1/h^k and 1/r ride multiplies
+    # (inv_r is 0 at self-pairs, so the Newtonian terms vanish there
+    # exactly as the where-guarded originals did)
+    newt_g = inv_r * inv_r * inv_r
+    newt_p = -inv_r
+    q_g = r * inv_h
+    q2_g = q_g * q_g
+    q3_g = q2_g * q_g
+    inv_h2 = inv_h * inv_h
+    inv_q = h_avg * inv_r  # 1/q, 0 at self-pairs
+    soft_g = jnp.where(
+        q_g <= 1.0,
+        inv_h2 * inv_h * (4.0 / 3.0 - 1.2 * q2_g + 0.5 * q3_g),
+        jnp.where(
+            q_g <= 2.0,
+            inv_h2
+            * (
+                8.0 / 3.0 * q_g
+                - 3.0 * q2_g
+                + 1.2 * q3_g
+                - q2_g * q2_g / 6.0
+                - (1.0 / 15.0) * inv_q * inv_q
+            )
+            * inv_r,
+            newt_g,
+        ),
+    )
+    soft_p = jnp.where(
+        q_g <= 1.0,
+        inv_h * (2.0 / 3.0 * q2_g - 0.3 * q2_g * q2_g + 0.1 * q2_g * q3_g - 1.4),
+        jnp.where(
+            q_g <= 2.0,
+            inv_h
+            * (
+                4.0 / 3.0 * q2_g
+                - q3_g
+                + 0.3 * q2_g * q2_g
+                - q2_g * q3_g / 30.0
+                - 1.6
+                + (1.0 / 15.0) * inv_q
+            ),
+            newt_p,
+        ),
+    )
     gmask = valid & (r <= 2.0 * h_avg)
-    cgp = jnp.where(gmask, softened_gphi_over_r(r, h_avg) - newt_g, 0.0)
-    cpp = jnp.where(gmask, softened_phi(r, h_avg) - newt_p, 0.0)
+    cgp = jnp.where(gmask, soft_g - newt_g, 0.0)
+    cpp = jnp.where(gmask, soft_p - newt_p, 0.0)
     if p3m:
-        inv_r = jax.lax.rsqrt(jnp.where(d2 > 0, d2, 1.0))
         tg, tp = newton_minus_mesh(d2, inv_r, sigma)
         cgp = cgp + jnp.where(valid, tg, 0.0)
         cpp = cpp + jnp.where(valid, tp, 0.0)

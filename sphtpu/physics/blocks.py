@@ -698,34 +698,58 @@ def _shard_slicer(axis, n_shards):
     return shard_blocks
 
 
+class CandTables(NamedTuple):
+    """Hoisted per-chunk index state for block_sph_forces.
+
+    idx:    per-bucket (nb_s, C_b) candidate-ORDER indices (sentinel n)
+    rows:   per-bucket (nb_s, C_b) particle-ROW ids (sentinel n) — the
+            candidate-side accumulators scatter straight into row order
+    inv_oq: (n,) packed-query slot of each row (order_q is injective on
+            real rows), turning every query-side unpack into a GATHER
+    """
+
+    idx: tuple
+    rows: tuple
+    inv_oq: jnp.ndarray
+
+
 def build_cand_tables(bargs: BlockArgs, spec, n, *, axis=None, n_shards=1):
-    """Per-bucket (nb_s, C_b) candidate index tables for this device's
-    slice of every bucket's block list. The tables depend only on the
-    plan (boxes + prefix tables), not on the state, so chunk runners
-    build them ONCE per sub-chunk outside the step scan and thread them
-    into block_sph_forces via idx_tables — rebuilding them per force
-    evaluation measured 0.2 s/eval on the deep-collapse fixture (0.82
-    s/eval with the searchsorted expansion the scatter+cummax replaced);
-    XLA does not hoist the build out of the scan on its own."""
+    """CandTables for this device's slice of every bucket's block list.
+    The tables depend only on the plan (boxes + prefix tables), not on
+    the state, so chunk runners build them ONCE per sub-chunk outside
+    the step scan and thread them into block_sph_forces via idx_tables —
+    rebuilding them per force evaluation measured 0.2 s/eval on the
+    deep-collapse fixture (0.82 s/eval with the searchsorted expansion
+    the scatter+cummax replaced); XLA does not hoist the build out of
+    the scan on its own."""
     buckets, oct_grids, runs_zy, _ = spec
     n_oct = len(oct_grids)
     shard_blocks = _shard_slicer(axis, n_shards)
-    tables = []
+    oc_pad = jnp.concatenate(
+        [bargs.order_c.astype(jnp.int32), jnp.full((1,), n, jnp.int32)]
+    )
+    tables, rows = [], []
     for (C_b, nb), bx, rz in zip(buckets, bargs.boxes, runs_zy):
         b0, nb_s = shard_blocks(nb)
         b0 = jnp.asarray(b0, jnp.int32)
         z32 = jnp.zeros((), jnp.int32)
         boxes_s = lax.dynamic_slice(bx, (b0, z32, z32), (nb_s, n_oct, 6))
-        tables.append(
-            lax.map(
-                lambda bb, C_b=C_b, rz=rz: _cand_indices(
-                    bb, bargs.starts, rz, n, C_b
-                ),
-                boxes_s,
-                batch_size=min(32, nb_s),
-            )
+        idx = lax.map(
+            lambda bb, C_b=C_b, rz=rz: _cand_indices(
+                bb, bargs.starts, rz, n, C_b
+            ),
+            boxes_s,
+            batch_size=min(32, nb_s),
         )
-    return tuple(tables)
+        tables.append(idx)
+        rows.append(oc_pad[idx])
+    oq = bargs.order_q
+    inv_oq = (
+        jnp.zeros((n,), jnp.int32)
+        .at[oq]
+        .set(jnp.arange(oq.shape[0], dtype=jnp.int32), mode="drop")
+    )
+    return CandTables(tuple(tables), tuple(rows), inv_oq)
 
 
 @functools.partial(
@@ -855,28 +879,27 @@ def block_sph_forces(
     # large flat ops; the mapped per-slab body then only slices — in-loop
     # per-block gathers measured ~0.5 s/eval slower (same lesson as the
     # strip engines' Pallas prestack)
+    if idx_tables is None:
+        # standalone/test use; chunk runners hoist this per sub-chunk
+        idx_tables = build_cand_tables(
+            bargs, spec, n, axis=axis, n_shards=n_shards
+        )
     blk_base = 0
-    bucket_geo = []  # (C_b, nb, b0, nb_s, q_base, idx_all, boxes_s, cpre)
+    bucket_geo = []  # (C_b, nb, b0, nb_s, q_base, idx_all, rows, boxes_s, cpre)
     for bi, ((C_b, nb), bx, rz) in enumerate(zip(buckets, bargs.boxes, runs_zy)):
         b0, nb_s = shard_blocks(nb)
         b0 = jnp.asarray(b0, jnp.int32)
         z32 = jnp.zeros((), jnp.int32)
         boxes_s = lax.dynamic_slice(bx, (b0, z32, z32), (nb_s, n_oct, 6))
-        if idx_tables is not None:
-            idx_all = idx_tables[bi]  # (nb_s, C_b), hoisted per chunk
-        else:
-            idx_all = lax.map(
-                lambda bb, C_b=C_b, rz=rz: _cand_indices(
-                    bb, bargs.starts, rz, n, C_b
-                ),
-                boxes_s,
-                batch_size=min(32, nb_s),
-            )  # (nb_s, C_b)
+        idx_all = idx_tables.idx[bi]  # (nb_s, C_b), hoisted per chunk
         cpre = (
             pcxp[idx_all], pcyp[idx_all], pczp[idx_all],
             (idx_all < n).astype(dtype),
         )
-        bucket_geo.append((C_b, nb, b0, nb_s, blk_base, idx_all, boxes_s, cpre))
+        bucket_geo.append(
+            (C_b, nb, b0, nb_s, blk_base, idx_all, idx_tables.rows[bi],
+             boxes_s, cpre)
+        )
         blk_base += nb * BQ
 
     def qslab(arr, q_base, b0, nb_s, width=None):
@@ -922,7 +945,7 @@ def block_sph_forces(
         vczp = padrow(vc[:, 2])
 
     a_results = []
-    for (C_b, nb, b0, nb_s, q_base, idx_all, boxes_s, cpre) in bucket_geo:
+    for (C_b, nb, b0, nb_s, q_base, idx_all, rows_t, boxes_s, cpre) in bucket_geo:
         cxg, cyg, czg, cmg = cpre
         if use_pallas:
             # VMEM-resident kernel (kernels/pallas_strip_knn.py): d2 is
@@ -1020,10 +1043,13 @@ def block_sph_forces(
         RHOq = lax.dynamic_update_slice(RHOq, rho_b.reshape(-1), (q0,))
         rows_ok = rows_ok & jnp.all(ok_b > 0)
 
-    # map packed-query results to row space, then to candidate space
+    # map packed-query results to row space (a gather by the hoisted
+    # inverse packing permutation — order_q hits every row exactly
+    # once), then to candidate space; under sharding a device reads 0
+    # for rows it doesn't own and the psum fills them in
     n_rows = n
-    Hrow = jnp.zeros((n_rows + 1,), dtype).at[oq].add(Hq, mode="drop")[:n_rows]
-    RHOrow = jnp.zeros((n_rows + 1,), dtype).at[oq].add(RHOq, mode="drop")[:n_rows]
+    Hrow = Hq[idx_tables.inv_oq]
+    RHOrow = RHOq[idx_tables.inv_oq]
     if axis is not None:
         Hrow = lax.psum(Hrow, axis)
         RHOrow = lax.psum(RHOrow, axis)
@@ -1076,7 +1102,7 @@ def block_sph_forces(
     # ownership weights (0.5 when both rows see the pair, 1 when only
     # one does) so each pair integrates exactly once.
     b_results = []
-    for (C_b, nb, b0, nb_s, q_base, idx_all, boxes_s, cpre) in bucket_geo:
+    for (C_b, nb, b0, nb_s, q_base, idx_all, rows_t, boxes_s, cpre) in bucket_geo:
         cxg, cyg, czg, cmg = cpre
         if use_pallas_b and _PHASE != "a":
             # VMEM-resident phase B (kernels/pallas_block_pairs.py): one
@@ -1124,7 +1150,7 @@ def block_sph_forces(
             need = jnp.maximum(2.0 * qhs, r_c_now)
             ok_b = ((qms <= 0) | (need <= reach)).astype(dtype)
             outs = qouts + (ok_b,) + couts
-            b_results.append((outs, q_base, b0, nb_s, idx_all))
+            b_results.append((outs, q_base, b0, nb_s, rows_t))
             continue
 
         # candidate-order packed fields (planar; cm/cx/cy/cz shared with
@@ -1254,7 +1280,7 @@ def block_sph_forces(
             outs = tuple(
                 jnp.zeros((nb_s, BQ), dtype) for _ in range(11)
             ) + tuple(jnp.zeros((nb_s, C_b), dtype) for _ in range(8))
-        b_results.append((outs, q_base, b0, nb_s, idx_all))
+        b_results.append((outs, q_base, b0, nb_s, rows_t))
 
     names = ("ax", "ay", "az", "div", "mu", "visc", "gx", "gy", "gz", "gp")
     s_names = ("sax", "say", "saz", "svisc", "sgx", "sgy", "sgz", "sgp")
@@ -1263,23 +1289,37 @@ def block_sph_forces(
             else jnp.zeros((oq.shape[0],), dtype))
         for k in names
     }
-    # candidate-order scatter accumulators (slot n = sentinel sink)
-    cacc = {k: jnp.zeros((n + 1,), dtype) for k in s_names}
-    for (outs, q_base, b0, nb_s, idx_all) in b_results:
+    # candidate-side accumulator, straight into ROW order (the hoisted
+    # rows tables map table slots to particle rows; sentinel -> sink row
+    # n), all 8 fields fused in the minor dim: ONE (M, 8) scatter-add
+    # per bucket. The previous eight 1-D candidate-order scatters plus
+    # the permutation scatters in unpack/scat were the force pass's
+    # hottest ops by far — the round-4 device trace showed ~19 ms per
+    # 1-D scatter-add, together more than half the dispatch (TPU scatter
+    # cost is per index ROW, so the 8-wide minor dim rides along ~free).
+    cacc = jnp.zeros((n + 1, 8), dtype)
+    for (outs, q_base, b0, nb_s, rows_t) in b_results:
         q0 = q_base + b0 * BQ
         for k, o in zip(names, outs[:10]):
             packed[k] = lax.dynamic_update_slice(packed[k], o.reshape(-1), (q0,))
         rows_ok = rows_ok & jnp.all(outs[10] > 0)
-        flat_idx = idx_all.reshape(-1)
-        for k, o in zip(s_names, outs[11:]):
-            cacc[k] = cacc[k].at[flat_idx].add(o.reshape(-1))
+        upd = jnp.stack([o.reshape(-1) for o in outs[11:]], axis=-1)
+        cacc = cacc.at[rows_t.reshape(-1)].add(upd)
+
+    # query-side unpack is a GATHER through the hoisted inverse packing
+    # permutation (order_q hits every row exactly once, so the old
+    # .at[oq].add/.max scatters were permutation-shaped; a sharded
+    # device reads init values (0 / -big) for rows it doesn't own —
+    # exactly what the psum/pmax downstream expects)
+    inv_oq = idx_tables.inv_oq
 
     def unpack(a):
-        return jnp.zeros((n_rows + 1,), dtype).at[oq].add(a, mode="drop")[:n_rows]
+        return a[inv_oq]
+
+    s_col = {k: i for i, k in enumerate(s_names)}
 
     def scat(k):
-        # candidate-order accumulator -> row order (oc is a permutation)
-        return jnp.zeros((n_rows,), dtype).at[oc].add(cacc[k][:n_rows])
+        return cacc[:n_rows, s_col[k]]
 
     acc = jnp.stack([
         unpack(packed["ax"]) + scat("sax"),
@@ -1287,9 +1327,7 @@ def block_sph_forces(
         unpack(packed["az"]) + scat("saz"),
     ], axis=1)
     div_row = unpack(packed["div"])
-    mu_row = jnp.full((n_rows + 1,), -big, dtype).at[oq].max(
-        packed["mu"], mode="drop"
-    )[:n_rows]
+    mu_row = unpack(packed["mu"])
     visc_row = unpack(packed["visc"]) + scat("svisc")
     ggx = unpack(packed["gx"]) + scat("sgx")
     ggy = unpack(packed["gy"]) + scat("sgy")

@@ -23,7 +23,6 @@ import numpy as np
 from scipy.spatial import cKDTree
 
 from ..io import StatsFile, read_snapshot, snapshot_path, write_snapshot
-from ..physics import density_at
 from ..physics.tiles import choose_tile_params_ml
 from ..profiling import StageTimer
 from ..units import UnitSystem
@@ -51,12 +50,25 @@ ML_SUBCHUNK = 2
 # Hard cap on steps per jitted lax.scan dispatch. Measured on the v5e
 # (BASELINE.md "scan length" table): throughput is flat from 2 to 10
 # steps/chunk (~0.80 s/step at N=1e5), but 20-step scans reproducibly
-# crash the TPU worker ("kernel fault") during compile/first run — the
-# round-2 scan-length anomaly's current face. The driver therefore
-# dispatches at most this many steps per chunk and loops; the snapshot
-# cadence is unaffected (the boundary counter advances by executed
-# steps, so partial chunks re-align on the next dispatch).
+# crash the TPU worker ("kernel fault") during compile/first run. The
+# driver therefore dispatches at most this many steps per chunk and
+# loops; the snapshot cadence is unaffected (the boundary counter
+# advances by executed steps, so partial chunks re-align on the next
+# dispatch).
 MAX_SCAN_STEPS = 10
+
+# Single-dispatch device wall-clock budget. dispatch_stress.py (round 4)
+# shows the TPU worker dying on ANY single dispatch whose wall clock
+# exceeds ~55-65 s — a trivial matmul loop with constant memory crashes
+# the same way the production scans do (54 s wall survives 2/2; 58+ s
+# targets die 3/3), so the fault is a dispatch-duration watchdog, not
+# the SPH program. The driver measures s/step per engine config and
+# sizes every dispatch to stay under this budget (first dispatch of a
+# config is a short probe — it is compile-dominated anyway). The
+# MAX_SCAN_STEPS=10 ceiling stays on top: the 20-step crash at N=1e5
+# happened at ~16 s of expected wall, below the watchdog, so one
+# unexplained failure mode remains and the empirical ceiling guards it.
+DISPATCH_WALL_BUDGET_S = 40.0
 
 
 def find_star_radius(rlin: np.ndarray, rho_radial: np.ndarray, threshold: float):
@@ -566,10 +578,14 @@ def run_simulation(
     io_thread = threading.Thread(target=_io_worker, daemon=True)
     io_thread.start()
 
+    # radial-profile star radius, updated per snapshot ON THE WORKER
+    # THREAD (FIFO order = snapshot order); [0] is only read/written
+    # there after startup
+    _R_state = [R_cur]
+
     def do_snapshot(
         snap_iter: int, last_row_code: np.ndarray, rho_code: Optional[np.ndarray]
     ):
-        nonlocal R_cur
         rcom = last_row_code[5:8]
         rr = np.stack(
             [
@@ -579,21 +595,12 @@ def run_simulation(
             ],
             axis=1,
         )
-        rho_radial_code = np.asarray(
-            density_at(jnp.asarray(rr, jd), state.pos, params.m, kh),
-            dtype=np.float64,
-        )
-        if eos == "polytropic":
-            r_new = find_star_radius(
-                rlin_code, rho_radial_code, 0.01 * rho_radial_code[0]
-            )
-            R_cur = float(r_new * u.L)
-            c["R"] = R_cur
-            c["N"] = n
         c["iterID"] = snap_iter
         c["t"] = float(state.t) * u.T
+        c["N"] = n
         stats_file.sync()
-        pos_cgs = np.asarray(state.pos, np.float64) * u.L
+        pos_code = np.asarray(state.pos, np.float64)
+        pos_cgs = pos_code * u.L
         vel_cgs = np.asarray(state.vel, np.float64) * u.V
         k_out = (
             np.asarray(state.K, np.float64) * u.K_entropy(gamma)
@@ -603,9 +610,24 @@ def run_simulation(
         constants_copy = dict(c)
         stats_hist = stats_file.up_to(snap_iter) if show_plots else None
         rho_cgs = rho_code * u.RHO if rho_code is not None else None
-        R_snap = R_cur
+        m_code = float(params.m)
 
-        def _write_and_render():
+        def _density_write_and_render():
+            # radial kNN density entirely off the device and off the
+            # main thread (VERDICT r3 weak-6): host_density_at is the
+            # same estimator as physics.density_at (pinned by
+            # tests/test_physics.py::test_density_at_matches_host), and
+            # the chip keeps stepping the next chunk while this samples
+            # the snapshot's immutable host copy (polytrope_sim.jl:241)
+            from ..scenes.setup import host_density_at
+
+            rho_radial_code = host_density_at(m_code, rr, pos_code, kh)
+            if eos == "polytropic":
+                r_new = find_star_radius(
+                    rlin_code, rho_radial_code, 0.01 * rho_radial_code[0]
+                )
+                _R_state[0] = float(r_new * u.L)
+            constants_copy["R"] = _R_state[0]
             write_snapshot(
                 str(snap_iter),
                 ic_type,
@@ -626,14 +648,14 @@ def run_simulation(
                     snap_id=str(snap_iter),
                     pos_cgs=pos_cgs,
                     rho_cgs=rho_cgs,
-                    R=R_snap,
+                    R=constants_copy["R"],
                     rlin_cgs=rlin_code * u.L,
                     rho_radial_cgs=rho_radial_code * u.RHO,
                     stats_cgs=stats_hist,
                     eos=eos,
                 )
 
-        io_q.put(_write_and_render)
+        io_q.put(_density_write_and_render)
         if verbose:
             print(f"Saving snapshot with ID: {snap_iter}")
         snapshot_ids.append(snap_iter)
@@ -644,6 +666,9 @@ def run_simulation(
     total_sharded = 0
     consec_fail = 0
     force_single = 0  # chunks to force onto the single-device path
+    # measured seconds/step per engine config (the sharded path keyed by
+    # a marker) — sizes dispatches under DISPATCH_WALL_BUDGET_S
+    step_wall: dict = {}
     while float(state.t) < t_end_code:
         if max_steps is not None and total_steps >= max_steps:
             break
@@ -656,11 +681,33 @@ def run_simulation(
         if max_steps is not None:
             n_steps = min(n_steps, max_steps - total_steps)
 
+        def _wall_cap(key, n_steps):
+            """Size the dispatch under the device watchdog. An
+            unmeasured config is probed TWICE at ML_SUBCHUNK steps: the
+            first probe's wall is compile-dominated (discarded, stored
+            as 0.0), the second is the clean warm s/step that sizes all
+            later dispatches. Costs one extra short compile + one short
+            warm dispatch per config; in exchange no first full-length
+            dispatch can blow the watchdog at large N."""
+            sps = step_wall.get(key)
+            if sps is None or sps == 0.0:
+                return min(n_steps, ML_SUBCHUNK)
+            return max(min(n_steps, int(DISPATCH_WALL_BUDGET_S / sps)), 1)
+
+        def _wall_record(key, wall, n_steps):
+            step_wall[key] = (
+                0.0 if key not in step_wall else wall / max(n_steps, 1)
+            )
+
         n_fb = 0
         res = None
         if mesh is not None and not force_single:
+            n_steps = _wall_cap("sharded", n_steps)
             with timer("chunk_steps_sharded"):
+                t_chunk = time.time()
                 res = run_chunk_sharded(state, h_host, n_steps)
+            if res is not None:
+                _wall_record("sharded", time.time() - t_chunk, n_steps)
         if res is not None:
             state, stats_code, valid, h_host, rho_host, cert_fired = res
             h_dev = jnp.asarray(h_host, jd)
@@ -681,12 +728,15 @@ def run_simulation(
                 # traced work lists / boxes drift with the state: short
                 # sub-chunks keep them fresh (host refresh, no recompile)
                 n_steps = min(n_steps, ML_SUBCHUNK)
+            n_steps = _wall_cap(cfg, n_steps)
             with timer("chunk_steps"):
+                t_chunk = time.time()
                 state, stats_code, valid, h_dev, rho_dev, nfb = chunk(
                     state, params, h_dev, n_steps=n_steps, mlargs=mlargs
                 )
                 h_host = np.asarray(h_dev, np.float64)
                 rho_host = np.asarray(rho_dev, np.float64)
+            _wall_record(cfg, time.time() - t_chunk, n_steps)
             cert_fired = False
             n_fb = int(np.asarray(nfb).sum())
         total_fallbacks += n_fb

@@ -121,6 +121,7 @@ def main():
         t_ckpt = float(np.asarray(state.t))
         grav = "p3m" if N >= P3M_MIN_N else "exact"
         eargs = None
+        fresh_plan = False  # set when hysteresis misses and we re-plan
         if os.environ.get("COLLAPSE_ENGINE") == "gather":
             # single always-exact program: right for small-N CPU lanes
             cfg = EngineConfig(n=N, kh=KH, eos="polytropic", dtype=DTYPE)
@@ -161,6 +162,7 @@ def main():
             if cached:
                 cfg, eargs = min(cached, key=lambda ca: cfg_cost(ca[0]))
             else:
+                fresh_plan = True
                 tp_mono = choose_tile_params(
                     pos_ckpt, h_host, KH, headroom=1.5
                 )
@@ -194,6 +196,7 @@ def main():
                             tile=(grid, cap), gravity=grav,
                             outlier_budget=budget,
                         )
+        fresh_compile = cfg not in runners  # a new XLA program this chunk
         chunk = get_runner(cfg)
         tw = time.time()
         # the axon TPU worker occasionally crashes/restarts mid-compile;
@@ -260,6 +263,13 @@ def main():
             "E": float(last[4]),
             "dE_rel": float((last[4] - E0) / abs(E0)),
             "ang": float(last[9]),
+            # replan/compile accounting (VERDICT r3 next-2 evidence):
+            # fresh_plan = hysteresis+refit missed and the host re-planned;
+            # fresh_compile = this chunk paid a new XLA program;
+            # n_programs = distinct compiled configs so far
+            "fresh_plan": fresh_plan,
+            "fresh_compile": fresh_compile,
+            "n_programs": len(runners),
         }
         log.write(json.dumps(rec) + "\n")
         if total_steps >= next_ckpt:

@@ -43,7 +43,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..kernels import W, grad_W_over_r, softened_gphi_over_r, softened_phi
+from ..kernels import W
 from .mesh_gravity import newton_minus_mesh
 
 
@@ -505,7 +505,6 @@ def tile_sph_forces(
         ).reshape(gp, gp, xslots)
 
     Hp = pad3(Hg)
-    RK2p = pad3((2.0 * Hg) ** 2)
     RHOp = pad3(RHOg)
     POR2p = pad3(POR2g)
     CSp = pad3(CSg)
@@ -522,24 +521,40 @@ def tile_sph_forces(
         reverse mask = q in knn(c) — the scatter-free symmetric sum.
         With an outlier lane, outlier SOURCES are excluded from the
         reverse mask (their r_k exceeds the stencil; the outlier pass
-        scatters those contributions exactly instead)."""
-        planes = [X, Y, Z, VX, VY, VZ, MASK, Hp, RK2p, RHOp, POR2p, CSp]
+        scatters those contributions exactly instead).
+
+        Division diet (round 4, mirrors kernels/pallas_block_pairs.py):
+        the kernels/ helpers divide by the PAIRWISE h_avg and r — ~15
+        multi-cycle non-pipelined VPU divisions per pair slot that
+        dominated the sweep. The body below is the same algebra written
+        on inv_r = rsqrt(d2) and exactly three pairwise reciprocals
+        (1/h_avg, the viscosity denominator, 1/rho_avg); the per-side
+        1/h_q and 1/h_c broadcast from row/column vectors, so their
+        reciprocal powers are cheap. Reassociation-only vs the helper
+        forms — parity pinned at f64 by tests/test_tiles.py."""
+        planes = [X, Y, Z, VX, VY, VZ, MASK, Hp, RHOp, POR2p, CSp]
         if OUTp is not None:
             planes.append(OUTp)
         views = tile_slices(planes, t)
         (qx, cx), (qy, cy), (qz, cz) = views[0:3]
         (qvx, cvx), (qvy, cvy), (qvz, cvz) = views[3:6]
         (qm, cm) = views[6]
-        (qh, ch), (qrk2, crk2), (qrho, crho), (qpor2, cpor2), (qcs, ccs) = views[7:12]
+        (qh, ch), (qrho, crho), (qpor2, cpor2), (qcs, ccs) = views[7:11]
 
         dx = qx[..., None] - cx[:, :, None, :]
         dy = qy[..., None] - cy[:, :, None, :]
         dz = qz[..., None] - cz[:, :, None, :]
         d2 = dx * dx + dy * dy + dz * dz
-        r = jnp.sqrt(d2)
+        inv_r = lax.rsqrt(jnp.where(d2 > 0, d2, 1.0))
+        inv_r = jnp.where(d2 > 0, inv_r, 0.0)  # self-pairs: 1/r -> 0
+        r = d2 * inv_r
         valid = (cm[:, :, None, :] > 0) & (qm[..., None] > 0)
-        fwd = valid & (d2 <= qrk2[..., None])
-        rev = valid & (d2 <= crk2[:, :, None, :])
+        # r_k = 2h recomputed in-tile ((2h)^2 rounds identically wherever
+        # it is squared) instead of streaming a dedicated rk2 plane
+        qh_e = qh[..., None]
+        ch_e = ch[:, :, None, :]
+        fwd = valid & (d2 <= (2.0 * qh_e) * (2.0 * qh_e))
+        rev = valid & (d2 <= (2.0 * ch_e) * (2.0 * ch_e))
         if OUTp is not None:
             # outlier rows: the forward (own-kNN-list) sum is incomplete
             # in-tile (their reach exceeds the stencil) — the outlier pass
@@ -547,26 +562,54 @@ def tile_sph_forces(
             # (contributions scattered from in-tile F rows' lists) is
             # complete and stays. Outlier SOURCES are likewise excluded
             # from every reverse term and scattered exactly instead.
-            (qo, cout) = views[12]
+            (qo, cout) = views[11]
             fwd = fwd & (qo[..., None] <= 0)
             rev = rev & (cout[:, :, None, :] <= 0)
 
         h_q = jnp.where(qh > 0, qh, 1.0)[..., None]
         h_c = jnp.where(ch > 0, ch, 1.0)[:, :, None, :]
         h_avg = 0.5 * (h_q + h_c)
+        inv_h = 1.0 / h_avg  # pairwise reciprocal, computed ONCE
         rho_avg = 0.5 * (qrho[..., None] + crho[:, :, None, :])
         rho_avg = jnp.where(valid, rho_avg, 1.0)
+        inv_rho = 1.0 / rho_avg
 
         vx = qvx[..., None] - cvx[:, :, None, :]
         vy = qvy[..., None] - cvy[:, :, None, :]
         vz = qvz[..., None] - cvz[:, :, None, :]
         v_dot_r = vx * dx + vy * dy + vz * dz
-        mu = jnp.minimum(h_avg * v_dot_r / (d2 + 0.01 * h_avg**2), 0.0)
-        pi_fwd = (-alpha * qcs[..., None] * mu + beta * mu * mu) / rho_avg
-        pi_rev = (-alpha * ccs[:, :, None, :] * mu + beta * mu * mu) / rho_avg
+        mu = jnp.minimum(
+            h_avg * v_dot_r / (d2 + 0.01 * (h_avg * h_avg)), 0.0
+        )
+        pi_fwd = (-alpha * qcs[..., None] * mu + beta * mu * mu) * inv_rho
+        pi_rev = (-alpha * ccs[:, :, None, :] * mu + beta * mu * mu) * inv_rho
 
-        dwdr_q = grad_W_over_r(r / h_q, r, h_q)
-        dwdr_c = grad_W_over_r(r / h_c, r, h_c)
+        # grad_W(q)/r with per-side h: h_q/h_c broadcast from (qw, 1) /
+        # (1, cw) vectors, so their reciprocal powers cost one divide per
+        # ROW/COLUMN; the q<=2 branch's /r rides inv_r (0 at self-pairs,
+        # where the q<=1 branch is selected anyway)
+        inv_hq = 1.0 / h_q
+        inv_hq2 = inv_hq * inv_hq
+        ct_wq = (1.0 / jnp.pi) * inv_hq2 * inv_hq2
+        q_q = r * inv_hq
+        dwdr_q = jnp.where(
+            q_q <= 1.0,
+            ct_wq * (2.25 * r * inv_hq2 - 3.0 * inv_hq),
+            jnp.where(
+                q_q <= 2.0, ct_wq * (-0.75 * (2.0 - q_q) ** 2) * inv_r, 0.0
+            ),
+        )
+        inv_hc = 1.0 / h_c
+        inv_hc2 = inv_hc * inv_hc
+        ct_wc = (1.0 / jnp.pi) * inv_hc2 * inv_hc2
+        q_c = r * inv_hc
+        dwdr_c = jnp.where(
+            q_c <= 1.0,
+            ct_wc * (2.25 * r * inv_hc2 - 3.0 * inv_hc),
+            jnp.where(
+                q_c <= 2.0, ct_wc * (-0.75 * (2.0 - q_c) ** 2) * inv_r, 0.0
+            ),
+        )
 
         if eos == "polytropic":
             psum = qpor2[..., None] + cpor2[:, :, None, :]
@@ -598,14 +641,55 @@ def tile_sph_forces(
         # correction against the global pure-Newtonian sweep; in P3M mode
         # phase C below adds term 2 (Newtonian - mesh shape) so the two
         # together turn the FFT mesh into the softened interaction.
-        r_safe = jnp.where(d2 > 0, r, 1.0)
-        newt_g = jnp.where(d2 > 0, 1.0 / r_safe**3, 0.0)
-        newt_p = jnp.where(d2 > 0, -1.0 / r_safe, 0.0)
-        gmask = valid & (r <= 2.0 * h_avg)
-        cgp = jnp.where(
-            gmask, softened_gphi_over_r(r, h_avg) - newt_g, 0.0
+        # The softened cubic-spline kernels (kernels/gravity.py piecewise
+        # forms) are inlined on inv_r/inv_h/q so every 1/h^k and 1/r ride
+        # multiplies (inv_r is 0 at self-pairs, so the Newtonian terms
+        # vanish there exactly as the where-guarded originals did).
+        newt_g = inv_r * inv_r * inv_r
+        newt_p = -inv_r
+        q_g = r * inv_h
+        q2_g = q_g * q_g
+        q3_g = q2_g * q_g
+        inv_h2 = inv_h * inv_h
+        inv_q = h_avg * inv_r  # 1/q, 0 at self-pairs
+        soft_g = jnp.where(
+            q_g <= 1.0,
+            inv_h2 * inv_h * (4.0 / 3.0 - 1.2 * q2_g + 0.5 * q3_g),
+            jnp.where(
+                q_g <= 2.0,
+                inv_h2
+                * (
+                    8.0 / 3.0 * q_g
+                    - 3.0 * q2_g
+                    + 1.2 * q3_g
+                    - q2_g * q2_g / 6.0
+                    - (1.0 / 15.0) * inv_q * inv_q
+                )
+                * inv_r,
+                newt_g,
+            ),
         )
-        cpp = jnp.where(gmask, softened_phi(r, h_avg) - newt_p, 0.0)
+        soft_p = jnp.where(
+            q_g <= 1.0,
+            inv_h
+            * (2.0 / 3.0 * q2_g - 0.3 * q2_g * q2_g + 0.1 * q2_g * q3_g - 1.4),
+            jnp.where(
+                q_g <= 2.0,
+                inv_h
+                * (
+                    4.0 / 3.0 * q2_g
+                    - q3_g
+                    + 0.3 * q2_g * q2_g
+                    - q2_g * q3_g / 30.0
+                    - 1.6
+                    + (1.0 / 15.0) * inv_q
+                ),
+                newt_p,
+            ),
+        )
+        gmask = valid & (r <= 2.0 * h_avg)
+        cgp = jnp.where(gmask, soft_g - newt_g, 0.0)
+        cpp = jnp.where(gmask, soft_p - newt_p, 0.0)
         ggx = m * jnp.sum(cgp * dx, axis=-1)
         ggy = m * jnp.sum(cgp * dy, axis=-1)
         ggz = m * jnp.sum(cgp * dz, axis=-1)

@@ -98,10 +98,16 @@ def main():
     h_dev = jnp.asarray(h_host, jd)
 
     runners = {}
+    # monotonically increasing count of chunk-runner constructions: unlike
+    # len(runners) it survives the crash-retry loop's runners.clear(), so
+    # fresh_compile / n_programs below report every XLA program actually
+    # paid for, including retry recompiles (ADVICE r4)
+    n_compiles = [0]
 
     def get_runner(cfg):
         if cfg not in runners:
             runners[cfg] = make_chunk_runner(cfg)
+            n_compiles[0] += 1
         return runners[cfg]
 
     log = open(f"{PREFIX}_log.jsonl", "a", buffering=1)
@@ -196,7 +202,7 @@ def main():
                             tile=(grid, cap), gravity=grav,
                             outlier_budget=budget,
                         )
-        fresh_compile = cfg not in runners  # a new XLA program this chunk
+        compiles_before = n_compiles[0]
         chunk = get_runner(cfg)
         tw = time.time()
         # the axon TPU worker occasionally crashes/restarts mid-compile;
@@ -265,11 +271,13 @@ def main():
             "ang": float(last[9]),
             # replan/compile accounting (VERDICT r3 next-2 evidence):
             # fresh_plan = hysteresis+refit missed and the host re-planned;
-            # fresh_compile = this chunk paid a new XLA program;
-            # n_programs = distinct compiled configs so far
+            # fresh_compile = this chunk paid >=1 new XLA program (counted
+            # AFTER the crash-retry loop, so retry recompiles after
+            # runners.clear() are included — ADVICE r4);
+            # n_programs = total runner compiles so far (monotonic)
             "fresh_plan": fresh_plan,
-            "fresh_compile": fresh_compile,
-            "n_programs": len(runners),
+            "fresh_compile": n_compiles[0] > compiles_before,
+            "n_programs": n_compiles[0],
         }
         log.write(json.dumps(rec) + "\n")
         if total_steps >= next_ckpt:

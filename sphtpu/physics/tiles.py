@@ -531,7 +531,12 @@ def tile_sph_forces(
         (1/h_avg, the viscosity denominator, 1/rho_avg); the per-side
         1/h_q and 1/h_c broadcast from row/column vectors, so their
         reciprocal powers are cheap. Reassociation-only vs the helper
-        forms — parity pinned at f64 by tests/test_tiles.py."""
+        forms in exact arithmetic — pinned at f64 roundoff by
+        tests/test_tiles.py::test_tiles_match_gather_engine; at
+        production f32 the rsqrt forms differ at roundoff and branch-
+        boundary slots can flip sides (all boundaries continuous, so
+        flips are physics-neutral), pinned by
+        test_tiles_f32_matches_gather_f64."""
         planes = [X, Y, Z, VX, VY, VZ, MASK, Hp, RHOp, POR2p, CSp]
         if OUTp is not None:
             planes.append(OUTp)

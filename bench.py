@@ -81,12 +81,24 @@ def build_state():
     pos_code = pos / u.L
     d_knn, _ = cKDTree(pos_code).query(pos_code, k=KH)
     h0 = d_knn[:, -1] / 2.0
-    tile = choose_tile_params(pos_code, h0, KH)
     from sphtpu.engine.driver import P3M_MIN_N
 
+    grav = "p3m" if N >= P3M_MIN_N else "exact"
+    # the driver's planner order: class-compacted tiles first (exact
+    # gravity), then the legacy full-cap sweep
+    classes = None
+    if grav == "exact" and not os.environ.get("SPHTPU_BENCH_LEGACY_TILES"):
+        from sphtpu.physics.ctiles import choose_tile_classes
+
+        tp_cls = choose_tile_classes(pos_code, h0, KH)
+        if tp_cls is not None:
+            tile = tp_cls[:2]
+            classes = tp_cls[2]
+    if classes is None:
+        tile = choose_tile_params(pos_code, h0, KH)
     cfg = EngineConfig(
         n=N, kh=KH, eos="polytropic", dtype="float32", tile=tile,
-        gravity="p3m" if N >= P3M_MIN_N else "exact",
+        tile_classes=classes, gravity=grav,
     )
     params = Params(
         m=jnp.asarray(M / N / u.M, jd),
@@ -268,7 +280,9 @@ def bench_hard_regime():
         return st, h, int(np.asarray(nfb).sum()), replan_wall, sub
 
     st, h = state, h0
+    t0 = time.time()
     st, h, _, _, _ = run_sub(st, h)  # compile + warm
+    hard_compile_s = time.time() - t0
     n_sub = max(BENCH_STEPS // sub, 1)
     nfb_tot = 0
     steps = 0
@@ -294,6 +308,7 @@ def bench_hard_regime():
         "hard_fallback_evals": nfb_tot,
         "hard_replans": n_replans,
         "hard_refit_fails": refit_fails,
+        "hard_compile_and_warm_s": round(hard_compile_s, 1),
     }
     # analytic roofline for the hard pass (sphtpu/roofline.py)
     if cfg.blocks is not None and elapsed != float("inf"):
@@ -386,10 +401,12 @@ def bench_isothermal():
     )
     h_dev = jnp.asarray(h0, jd)
     chunk = make_chunk_runner(cfg)
+    t0 = time.time()
     st, stats, valid, h_w, _, nfb = chunk(
         state, params, h_dev, n_steps=BENCH_STEPS, mlargs=mlargs
     )
     fetch((stats, valid, nfb))
+    iso_compile_s = time.time() - t0
     t0 = time.time()
     st, stats, valid, _, _, nfb = chunk(
         st, params, h_w, n_steps=BENCH_STEPS, mlargs=mlargs
@@ -402,14 +419,94 @@ def bench_isothermal():
         "iso_ms_per_force_pass": round(elapsed / (BENCH_STEPS * 2) * 1e3, 2),
         "iso_fallback_evals": int(np.asarray(nfb).sum()),
         "iso_gravity": grav,
+        "iso_compile_and_warm_s": round(iso_compile_s, 1),
     }
+    # analytic roofline for the iso pass (VERDICT r4 next-4: the iso lane
+    # must carry the same instrument as the polytropic lanes)
+    from sphtpu.roofline import (
+        add_counts, allpairs_gravity_counts, block_force_counts,
+        p3m_mesh_counts, roofline_report, tile_force_counts,
+    )
+
+    if cfg.blocks is not None:
+        cnt = block_force_counts(cfg.blocks, N, kh, gravity=grav)
+        out["iso_block_slots"] = sum(
+            cb * nb for cb, nb in cfg.blocks[0]
+        ) * 128
+    else:
+        cnt = tile_force_counts(cfg.tile[0], cfg.tile[1], N, kh, gravity=grav)
+    cnt = add_counts(
+        cnt,
+        p3m_mesh_counts(cfg.mesh_pad, N)
+        if grav == "p3m"
+        else allpairs_gravity_counts(N),
+    )
+    out.update({
+        f"iso_{k}": v
+        for k, v in roofline_report(cnt, elapsed / (BENCH_STEPS * 2)).items()
+    })
     out.update(engine_note)
     return out
+
+
+def _headline_probe():
+    """Subprocess body for the cold/warm compile probes: build the exact
+    headline chunk runner, time first-call compile + warm fetch, print
+    one float. The parent controls the persistent-cache state via
+    SPHTPU_COMPILE_CACHE, so the same code measures both lanes."""
+    from sphtpu.engine import make_chunk_runner
+
+    cfg, params, state, h0 = build_state()
+    chunk = make_chunk_runner(cfg)
+    t0 = time.time()
+    _, stats, valid, _, _, nfb = chunk(state, params, h0, n_steps=BENCH_STEPS)
+    fetch((stats, valid, nfb))
+    print(f"PROBE_SECONDS {time.time() - t0:.1f}")
+
+
+def compile_probes():
+    """Cold / warm compile cost of the headline program as subprocesses
+    (VERDICT r4 next-3: compile cost must be a tracked metric, split by
+    cache state). Runs BEFORE the parent touches the device:
+
+    * warm probe: ambient persistent cache (~/.cache/jax_sphtpu) — what a
+      user's second run pays;
+    * cold probe: a fresh temp cache dir — the true cold-start cost.
+
+    Probe failures (worker crash, timeout) record None, never blank the
+    bench."""
+    import subprocess
+    import sys
+    import tempfile
+
+    def run_probe(env_extra):
+        env = dict(os.environ, **env_extra)
+        try:
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--probe"],
+                capture_output=True, text=True, timeout=3600, env=env,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            for line in p.stdout.splitlines():
+                if line.startswith("PROBE_SECONDS"):
+                    return float(line.split()[1])
+        except Exception:
+            pass
+        return None
+
+    warm = run_probe({})
+    with tempfile.TemporaryDirectory() as fresh:
+        cold = run_probe({"SPHTPU_COMPILE_CACHE": fresh})
+    return cold, warm
 
 
 def main():
     from sphtpu.engine import make_chunk_runner
 
+    cold_s, warm_s = (
+        (None, None) if os.environ.get("SPHTPU_SKIP_PROBES") else
+        compile_probes()
+    )
     cfg, params, state, h0 = build_state()
     chunk = make_chunk_runner(cfg)
 
@@ -461,6 +558,8 @@ def main():
         "tile_params": list(cfg.tile) if cfg.tile else None,
         "gravity": cfg.gravity,
         "compile_and_warm_s": round(compile_and_warm_s, 1),
+        "headline_cold_compile_s": cold_s,
+        "headline_warm_compile_s": warm_s,
         "backend": jax.default_backend(),
     }
     # analytic roofline for the headline pass (sphtpu/roofline.py):
@@ -491,6 +590,11 @@ def main():
 
 
 if __name__ == "__main__":
+    import sys
+
+    if "--probe" in sys.argv:
+        _headline_probe()
+        raise SystemExit(0)
     # the axon TPU worker intermittently crashes/restarts (infra, not
     # workload: identical runs succeed on retry); don't let a transient
     # outage blank the benchmark

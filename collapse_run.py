@@ -217,6 +217,9 @@ def main():
                     # (the hysteresis lookup above IS the refresh)
                     n_steps=min(CHUNK, 2) if cfg.blocks is not None else CHUNK,
                     mlargs=eargs,
+                    # one compiled program per config for every dispatch
+                    # size (n_steps is traced; the scan shape is fixed)
+                    scan_length=CHUNK,
                 )
                 h_host = np.asarray(h_dev2, np.float64)
                 rho = np.asarray(rho_dev, np.float64)

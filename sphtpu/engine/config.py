@@ -49,6 +49,11 @@ class EngineConfig:
     # certify on the tile grid take an exact O(B*N) lane, letting the grid
     # track the dense bulk through gravitational collapse. 0 = mono-level.
     outlier_budget: int = 0
+    # occupancy-class query compaction for the tile path
+    # (physics/ctiles.py): ((cap_k, n_cells_k), ...) plan-time class list
+    # sizes, or None for the legacy full-cap sweep. Requires tile set,
+    # outlier_budget == 0, and (for p3m) c_halfwidth == 1.
+    tile_classes: tuple = None
     # multi-level tile engine spec (physics/mlevel.py):
     # ( ((grid, cap, n_act_a, n_act_b), ...), res_budget, mesh_level, nc ).
     # Mutually exclusive with `tile`; the per-chunk active-strip lists are
@@ -77,6 +82,16 @@ class EngineConfig:
             raise ValueError("p3m gravity requires a tile/mlevel/blocks engine")
         if sum(x is not None for x in (self.tile, self.mlevel, self.blocks)) > 1:
             raise ValueError("tile, mlevel, and blocks are mutually exclusive")
+        if self.tile_classes is not None:
+            if self.tile is None:
+                raise ValueError("tile_classes requires a tile config")
+            if self.outlier_budget:
+                raise ValueError("tile_classes excludes the outlier lane")
+            if self.gravity == "p3m" and self.c_halfwidth != 1:
+                raise ValueError(
+                    "tile_classes + p3m requires c_halfwidth == 1 "
+                    "(mesh_factor >= ceil(4.4 * sigma_cells))"
+                )
 
     @property
     def jdtype(self):

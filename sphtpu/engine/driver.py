@@ -402,6 +402,12 @@ def run_simulation(
 
     def _cfg_cost(c: EngineConfig) -> float:
         if c.tile is not None:
+            if c.tile_classes is not None:
+                # class-compacted query rows: only occupied-class slots
+                # sweep pair tiles
+                return sum(
+                    nk * float(ck) for ck, nk in c.tile_classes
+                ) * 27.0 * float(c.tile[1])
             return (
                 c.tile[0] ** 3 * float(c.tile[1]) ** 2 * 27.0
                 + n * float(c.outlier_budget)
@@ -445,11 +451,17 @@ def run_simulation(
         from ..physics.mlevel import mlevel_args_still_ok, plan_mlevel
         from ..physics.tiles import tile_params_still_ok
 
+        from ..physics.ctiles import ctile_classes_still_ok
+
         cached = []
         for c in _runner_cache:
             if c.tile is not None and tile_params_still_ok(
                 pos_host, h_host, c.tile[0], c.tile[1], c.outlier_budget
             ):
+                if c.tile_classes is not None and not ctile_classes_still_ok(
+                    pos_host, h_host, c.tile[0], c.tile[1], c.tile_classes
+                ):
+                    continue
                 cached.append((c, None))
             elif c.mlevel is not None:
                 args = mlevel_args_still_ok(pos_host, h_host, c.mlevel)
@@ -473,8 +485,25 @@ def run_simulation(
         # tuned fast path; contrast states: the block-compact engine
         # (measured fastest under deep collapse), then the multi-level
         # engine, then the outlier-lane tiles
+        from ..physics.ctiles import choose_tile_classes
         from ..physics.tiles import choose_tile_params
 
+        # occupancy-class query compaction first (exact-gravity states:
+        # the classed pass sweeps ~3x fewer pair slots at the uniform
+        # headline; p3m keeps the legacy path until its tail stencil is
+        # one cell wide)
+        if grav == "exact":
+            tp_cls = choose_tile_classes(pos_host, h_host, kh, headroom=1.5)
+            if tp_cls is not None:
+                grid_c, cap_c, classes = tp_cls
+                return (
+                    EngineConfig(
+                        n=n, kh=kh, eos=eos, dtype=dtype,
+                        tile=(grid_c, cap_c), tile_classes=classes,
+                        gravity=grav,
+                    ),
+                    None,
+                )
         tp_mono = choose_tile_params(pos_host, h_host, kh, headroom=1.5)
         if tp_mono is not None:
             return (
@@ -731,8 +760,12 @@ def run_simulation(
             n_steps = _wall_cap(cfg, n_steps)
             with timer("chunk_steps"):
                 t_chunk = time.time()
+                # fixed scan_length: every dispatch size (wall-budget
+                # probes, snapshot-boundary partials) reuses ONE compiled
+                # program per config instead of one per length
                 state, stats_code, valid, h_dev, rho_dev, nfb = chunk(
-                    state, params, h_dev, n_steps=n_steps, mlargs=mlargs
+                    state, params, h_dev, n_steps=n_steps, mlargs=mlargs,
+                    scan_length=MAX_SCAN_STEPS,
                 )
                 h_host = np.asarray(h_dev, np.float64)
                 rho_host = np.asarray(rho_dev, np.float64)

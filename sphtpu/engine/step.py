@@ -181,6 +181,55 @@ def force_eval(
         red, acc, phi = lax.cond(ok, ml_branch, ml_fallback)
         return acc, red, phi, ~ok
 
+    if cfg.tile is not None and cfg.tile_classes is not None:
+        # occupancy-class-compacted tile path (physics/ctiles.py): padded
+        # query rows are not swept; candidates stay the full 27-cell
+        # prestack so certification equals the mono engine's
+        from ..physics.ctiles import ctile_sph_forces
+
+        grid, cap = cfg.tile
+        p3m = cfg.gravity == "p3m"
+        tf, gcorr, ok = ctile_sph_forces(
+            pos,
+            vel,
+            p.m,
+            K,
+            h_hint,
+            eos=cfg.eos,
+            gamma=p.gamma,
+            cs0=p.cs0,
+            alpha=p.alpha,
+            beta=p.beta,
+            kh=cfg.kh,
+            grid=grid,
+            cap=cap,
+            classes=cfg.tile_classes,
+            mesh_factor=cfg.mesh_factor if p3m else 0,
+            sigma_cells=cfg.sigma_cells,
+            interpret=jax.default_backend() != "tpu",
+        )
+        if p3m and ghat is None:
+            ghat = greens_hat(cfg.mesh_pad, cfg.sigma_cells, pos.dtype)
+
+        def ctile_branch():
+            if p3m:
+                gmesh, phim = p3m_mesh_force(
+                    pos, p.m, ghat, gm=cfg.mesh_gm, pad=cfg.mesh_pad
+                )
+                g = gmesh + jnp.stack(gcorr[:3], axis=1)
+                return tf, tf.acc - g, phim + gcorr[3]
+            gn, phin = gravity_newton_allpairs(pos, p.m)
+            g = gn + jnp.stack(gcorr[:3], axis=1)
+            return tf, tf.acc - g, phin + gcorr[3]
+
+        def ctile_fallback():
+            red = _gather_reduced(cfg, p, pos, vel, K)
+            g, phi = gravity_allpairs(pos, red.h, p.m)
+            return red, red.acc - g, phi
+
+        red, acc, phi = lax.cond(ok, ctile_branch, ctile_fallback)
+        return acc, red, phi, ~ok
+
     if cfg.tile is not None:
         grid, cap = cfg.tile
         p3m = cfg.gravity == "p3m"
@@ -330,18 +379,31 @@ def make_step(cfg: EngineConfig):
 
 
 def make_chunk_runner(cfg: EngineConfig):
-    """Returns chunk(state, params, h0, n_steps, mlargs=None) jitted with
-    static n_steps: runs up to n_steps steps, freezing once t >= t_end.
+    """Returns chunk(state, params, h0, n_steps, mlargs=None,
+    scan_length=None): runs up to n_steps steps, freezing once t >= t_end.
     Outputs (state, stats (S,10), valid (S,), h_last, rho_last,
     fallbacks (S,)); rho_last is the last half-step density, which the
     driver threads into the snapshot figures (the reference colors its
     star scatter by rho, polytrope_sim.jl:265). mlargs: traced MLArgs for
-    cfg.mlevel configs (refreshed per chunk without recompiling)."""
+    cfg.mlevel configs (refreshed per chunk without recompiling).
+
+    scan_length is the STATIC scan shape (S above); n_steps is a TRACED
+    active-step count <= scan_length — steps beyond it freeze exactly
+    like t >= t_end and report valid=False. Passing a fixed scan_length
+    (the driver uses MAX_SCAN_STEPS) means ONE compiled program serves
+    every dispatch size, instead of one XLA program — and one slow
+    remote-AOT compile — per distinct chunk length (VERDICT r4 next-3:
+    the wall-budget probe used to compile a 2-step program per config
+    before the full-length one). Default scan_length=None keeps the old
+    behavior (static length = n_steps)."""
     step = make_step(cfg)
 
-    @functools.partial(jax.jit, static_argnames=("n_steps",))
-    def chunk(state: State, p: Params, h0, n_steps: int, mlargs=None):
+    @functools.partial(jax.jit, static_argnames=("scan_length",))
+    def chunk_impl(
+        state: State, p: Params, h0, n_steps, scan_length: int, mlargs=None
+    ):
         rho0 = jnp.zeros_like(h0)
+        n_active = jnp.asarray(n_steps, jnp.int32)
         # hoisted out of the scan: XLA computes the Green's transform once
         # per chunk, not per force evaluation
         ghat = (
@@ -357,9 +419,9 @@ def make_chunk_runner(cfg: EngineConfig):
 
             aux = build_cand_tables(mlargs, cfg.blocks, cfg.n)
 
-        def body(carry, _):
+        def body(carry, i):
             st, h, rho = carry
-            cont = st.t < p.t_end
+            cont = (st.t < p.t_end) & (i < n_active)
 
             def do(args):
                 s, hh, rr = args
@@ -374,8 +436,15 @@ def make_chunk_runner(cfg: EngineConfig):
             return carry2, (stats, cont, nfb)
 
         (state_out, h_last, rho_last), (stats, valid, nfb) = lax.scan(
-            body, (state, h0, rho0), None, length=n_steps
+            body, (state, h0, rho0), jnp.arange(scan_length), length=scan_length
         )
         return state_out, stats, valid, h_last, rho_last, nfb
+
+    def chunk(state, p, h0, n_steps, mlargs=None, *, scan_length=None):
+        if scan_length is None:
+            scan_length = int(n_steps)
+        if int(n_steps) > scan_length:
+            raise ValueError(f"n_steps {n_steps} > scan_length {scan_length}")
+        return chunk_impl(state, p, h0, n_steps, scan_length, mlargs)
 
     return chunk

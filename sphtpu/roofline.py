@@ -118,6 +118,33 @@ def tile_force_counts(grid: int, cap: int, n: int, kh: int, *,
     }
 
 
+def ctile_force_counts(classes, cap: int, n: int, kh: int, *,
+                       gravity: str = "exact", n_bisect: int = 34,
+                       dtype_bytes: int = 4):
+    """One class-compacted tile force evaluation (physics/ctiles.py):
+    each occupancy class k sweeps (n_cells_k, cap_k, 27*cap) pair tiles
+    for phases A and B — the mono engine's count with the padded query
+    rows removed. The 11-field prestack build/gather is the dominant
+    extra HBM term."""
+    cw = 27 * cap
+    slots = sum(nk * ck for ck, nk in classes) * cw
+    n_cells = sum(nk for _, nk in classes)
+    p3m = gravity == "p3m"
+    f_a = slots * (8 + 3 * n_bisect + 5 + 24)
+    f_b = slots * (70 + 55 + (25 if p3m else 0))
+    # prestack: 4 fields built+gathered for A, 11 for B; query planes
+    by_a = n_cells * cw * (2 * 4 + 1) * dtype_bytes + n * 15 * dtype_bytes
+    by_b = n_cells * cw * (2 * 11 + 1) * dtype_bytes + n * 21 * dtype_bytes
+    return {
+        "flops": f_a + f_b,
+        "bytes": by_a + by_b,
+        "stages": {
+            "phase_a": {"flops": f_a, "bytes": by_a, "slots": slots},
+            "phase_b": {"flops": f_b, "bytes": by_b, "slots": slots},
+        },
+    }
+
+
 def allpairs_gravity_counts(n: int, dtype_bytes: int = 4):
     """gravity_newton_allpairs (physics/gravity.py): N^2 pairs x
     (d2 8 + rsqrt 1 + cube/scale 4 + 3 axis FMAs 6 + phi 2)."""

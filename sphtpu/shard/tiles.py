@@ -134,12 +134,56 @@ def plan_slabs(
     c = np.clip((pos_code + half) // s, 0, g - 1).astype(np.int64)
     cells = (c[:, 2] * g + c[:, 1]) * g + c[:, 0]
     cmax = int(np.bincount(cells, minlength=g**3).max())
+    layer_counts = np.bincount(c[:, 2], minlength=g)
+
+    geo = plan_slabs_from_hists(
+        n, half, g, layer_counts, cmax, n_dev,
+        chunk_steps=chunk_steps, cap_max=cap_max, headroom=headroom,
+        slots_max=slots_max,
+    )
+    if geo is None:
+        return None
+    z0s, n_loc = geo["z0s"], geo["n_loc"]
+
+    dev_of = np.searchsorted(z0s, c[:, 2], side="right") - 1
+    order = np.full(n_dev * n_loc, -1, dtype=np.int64)
+    for p in range(n_dev):
+        rows = np.flatnonzero(dev_of == p)
+        order[p * n_loc : p * n_loc + rows.size] = rows
+
+    return SlabPlan(
+        grid=g, cap=geo["cap"], lz_max=geo["lz_max"], halo=geo["halo"],
+        hops=geo["hops"], budget=geo["budget"], n_loc=n_loc, n_dev=n_dev,
+        half=half, z0s=z0s, order=order,
+    )
+
+
+def plan_slabs_from_hists(
+    n: int,
+    half: float,
+    g: int,
+    layer_counts: np.ndarray,
+    cmax: int,
+    n_dev: int,
+    *,
+    chunk_steps: int = 10,
+    cap_max: int = 256,
+    headroom: float = 1.25,
+    slots_max: int = 12_000_000,
+):
+    """Slab geometry from HISTOGRAMS only (no positions): the shared core
+    of plan_slabs (single host: histograms from the full state) and the
+    multi-host state-sharded planner (shard/mh_slabs.py: per-process
+    local histograms summed by one small allgather). Every quantity —
+    boundaries, capacities, halo budgets — is a pure function of the
+    z-layer histogram and the max cell occupancy, so processes that
+    agree on those sums derive the identical plan with no global
+    positions anywhere. Returns a dict of geometry fields or None."""
     cap = max(32, int(-(-headroom * cmax // 32)) * 32)
     if cap > cap_max or g**3 * cap > slots_max:
         return None
 
     # balanced contiguous layer partition by particle count
-    layer_counts = np.bincount(c[:, 2], minlength=g)
     cum = np.concatenate([[0], np.cumsum(layer_counts)])
     z0s = np.zeros(n_dev + 1, dtype=np.int64)
     z0s[n_dev] = g
@@ -155,8 +199,13 @@ def plan_slabs(
     lz_max = int(lzs.max())
     halo = max(1, math.ceil(0.155 * chunk_steps))
 
-    dev_of = np.searchsorted(z0s, c[:, 2], side="right") - 1
-    counts = np.bincount(dev_of, minlength=n_dev)
+    def count_z(lo, hi):
+        """Particles with layer in [lo, hi) — from the histogram."""
+        lo = max(int(lo), 0)
+        hi = min(int(hi), g)
+        return int(cum[hi] - cum[lo]) if hi > lo else 0
+
+    counts = np.array([count_z(z0s[p], z0s[p + 1]) for p in range(n_dev)])
     n_loc = int(-(-int(counts.max()) // 256) * 256)
 
     # ring reach: receiver q needs layers [z0_q - halo - 2,
@@ -179,25 +228,19 @@ def plan_slabs(
             if i + r < n_dev:  # up: i -> i+r
                 thr = z0s[i + r] - halo - 2
                 max_send = max(
-                    max_send, int(np.sum((dev_of == i) & (c[:, 2] >= thr)))
+                    max_send, count_z(max(thr, z0s[i]), z0s[i + 1])
                 )
             if i - r >= 0:  # down: i -> i-r
                 thr = z0s[i - r + 1] + halo + 2
                 max_send = max(
-                    max_send, int(np.sum((dev_of == i) & (c[:, 2] < thr)))
+                    max_send, count_z(z0s[i], min(thr, z0s[i + 1]))
                 )
     budget = int(-(-int(max_send * 1.5 + 64) // 256) * 256)
 
-    order = np.full(n_dev * n_loc, -1, dtype=np.int64)
-    for p in range(n_dev):
-        rows = np.flatnonzero(dev_of == p)
-        order[p * n_loc : p * n_loc + rows.size] = rows
-
-    return SlabPlan(
-        grid=g, cap=cap, lz_max=lz_max, halo=halo, hops=hops,
-        budget=budget, n_loc=n_loc, n_dev=n_dev, half=half,
-        z0s=z0s, order=order,
-    )
+    return {
+        "cap": cap, "z0s": z0s, "lz_max": lz_max, "halo": halo,
+        "hops": hops, "budget": budget, "n_loc": n_loc,
+    }
 
 
 def slab_plan_still_ok(

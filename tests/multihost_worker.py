@@ -12,16 +12,53 @@ Modes:
   driver  end-to-end run_simulation(multihost=True) from a snapshot tree
           the parent prepared; dumps the summary (steps, snapshot ids,
           last stats row) to <out>/p<id>.npz
+  slabs   STATE-SHARDED z-slab chunk (shard/mh_slabs.py): each process
+          bootstraps from an arbitrary half of the rows, plans from
+          local histograms + one allgather, migrates movers, packs only
+          its own devices' slab buffers, runs 2 KDK steps, and dumps
+          ONLY its local rows (plus locality assertions) to p<id>.npz
 """
 
 from __future__ import annotations
 
+import os
 import sys
+import threading
+import time
 
 import numpy as np
 from scipy.spatial import cKDTree
 
 KH = 16
+
+# ---------------------------------------------------------------------------
+# Heartbeat: the parent diagnoses a dead/stuck worker from this file
+# (VERDICT r4 weak-4: a worker death under host contention reported a
+# bare exit code and a log tail, not a cause or a phase).
+# ---------------------------------------------------------------------------
+
+_HB = {"path": None, "phase": "spawned"}
+
+
+def hb_phase(phase: str):
+    """Mark the current phase; the heartbeat thread stamps it to disk."""
+    _HB["phase"] = phase
+
+
+def _hb_loop(period=2.0):
+    while True:
+        try:
+            with open(_HB["path"], "w") as f:
+                f.write(f"{time.time():.3f} {_HB['phase']}\n")
+        except OSError:
+            pass
+        time.sleep(period)
+
+
+def hb_start(out: str, pid: int):
+    _HB["path"] = os.path.join(out, f"p{pid}.hb")
+    t = threading.Thread(target=_hb_loop, daemon=True)
+    t.start()
 
 
 def fixture(n=768, seed=7):
@@ -89,6 +126,143 @@ def run_force_chunk(mesh, n_steps=2):
     )
 
 
+def fixture_slabs(n=4096, kh=8, seed=5):
+    """Uniform-ish ball: slab plans certify (mono-level grid feasible),
+    unlike the two-scale `fixture`. Shared with the parent's
+    single-process reference run."""
+    rng = np.random.default_rng(seed)
+    u = rng.random(n) ** (1 / 3)
+    d = rng.standard_normal((n, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    pos = u[:, None] * d
+    vel = 0.1 * rng.standard_normal((n, 3))
+    K = 1.0 + 0.1 * rng.random(n)
+    dk, _ = cKDTree(pos).query(pos, k=kh)
+    return pos, vel, K, dk[:, -1] / 2.0
+
+
+SLABS_KH = 8
+
+
+def _slab_params(n, jd):
+    import jax.numpy as jnp
+
+    from sphtpu.engine import Params
+
+    return Params(
+        m=jnp.asarray(1.0 / n, jd), gamma=jnp.asarray(5 / 3, jd),
+        cs0=jnp.asarray(0.0, jd), alpha=jnp.asarray(1.0, jd),
+        beta=jnp.asarray(2.0, jd), U0=jnp.asarray(0.0, jd),
+        t_end=jnp.asarray(1e9, jd),
+    )
+
+
+def run_slabs_reference(mesh, n_steps=2):
+    """Single-process reference: the classic full-state slab path
+    (plan_slabs + pack_state) on the same fixture and device count."""
+    import jax.numpy as jnp
+
+    from sphtpu.engine import EngineConfig
+    from sphtpu.engine.config import State
+    from sphtpu.shard.tiles import (
+        make_slab_chunk_runner, pack_state, plan_slabs, unpack_rows,
+    )
+
+    pos, vel, K, h0 = fixture_slabs()
+    n = pos.shape[0]
+    n_dev = int(np.prod(mesh.devices.shape))
+    plan = plan_slabs(pos, h0, SLABS_KH, n_dev)
+    assert plan is not None
+    cfg = EngineConfig(
+        n=n, kh=SLABS_KH, eos="polytropic", dtype="float64",
+        tile=(plan.grid, plan.cap), gravity="exact",
+    )
+    jd = jnp.float64
+    st = State(
+        jnp.asarray(pos, jd), jnp.asarray(vel, jd), jnp.asarray(K, jd),
+        jnp.asarray(0.0, jd),
+    )
+    chunk = make_slab_chunk_runner(cfg, plan, mesh)
+    sl2, stats, valid, cert, h_rows, _ = chunk(
+        pack_state(st, plan, mesh), _slab_params(n, jd),
+        jnp.asarray(plan.z0s, jnp.int32), plan.half, n_steps=n_steps,
+    )
+    assert bool(np.asarray(valid).all()) and not bool(np.asarray(cert).any())
+    return (
+        unpack_rows(np.asarray(sl2.pos), plan, n),
+        unpack_rows(np.asarray(sl2.vel), plan, n),
+        unpack_rows(np.asarray(sl2.K), plan, n),
+        np.asarray(stats),
+        plan.static_key,
+    )
+
+
+def run_slabs_sharded(pid, n_procs, out, n_steps=2):
+    """The state-sharded path: bootstrap from an arbitrary row split,
+    never materialize another process's rows."""
+    import jax
+    import jax.numpy as jnp
+
+    from sphtpu.engine import EngineConfig
+    from sphtpu.shard import multihost as mh
+    from sphtpu.shard.mh_slabs import (
+        LocalRows, mh_local_rows, mh_migrate, mh_pack, mh_plan_slabs,
+    )
+    from sphtpu.shard.tiles import make_slab_chunk_runner
+
+    pos, vel, K, h0 = fixture_slabs()
+    n = pos.shape[0]
+    # arbitrary bootstrap ownership: process p starts with the p-th
+    # contiguous slice of rows (NOT slab-aligned; migration re-homes)
+    lo, hi = pid * n // n_procs, (pid + 1) * n // n_procs
+    local = LocalRows(
+        pos=pos[lo:hi], vel=vel[lo:hi], K=K[lo:hi], h=h0[lo:hi],
+        gid=np.arange(lo, hi),
+    )
+    del pos, vel, K, h0  # nothing global past this point
+
+    mesh = mh.global_mesh()
+    n_dev = int(np.prod(mesh.devices.shape))
+    hb_phase("slabs: histogram allgather + plan")
+    plan = mh_plan_slabs(local, SLABS_KH, n_dev)
+    assert plan is not None, "slab plan must certify on the uniform ball"
+    hb_phase("slabs: migrate movers")
+    local = mh_migrate(local, plan, mesh)
+
+    jd = jnp.float64
+    sl, layout = mh_pack(local, plan, mesh, np.float64, t=0.0)
+    # locality assertions: the global state is NOT fully addressable from
+    # this process, and this process's buffers hold exactly its slab rows
+    assert not sl.pos.is_fully_addressable
+    n_local_devs = layout.d1 - layout.d0
+    assert n_local_devs == n_dev // n_procs
+    assert len(sl.pos.addressable_shards) == n_local_devs
+
+    cfg = EngineConfig(
+        n=n, kh=SLABS_KH, eos="polytropic", dtype="float64",
+        tile=(plan.grid, plan.cap), gravity="exact",
+    )
+    hb_phase("slabs: compile+run chunk")
+    chunk = make_slab_chunk_runner(cfg, plan, mesh)
+    sl2, stats, valid, cert, h_rows, _ = chunk(
+        sl, _slab_params(n, jd), jnp.asarray(plan.z0s, jnp.int32),
+        plan.half, n_steps=n_steps,
+    )
+    hb_phase("slabs: fetch+save")
+    assert bool(mh.host_local(valid).all())
+    assert not bool(mh.host_local(cert).any())
+    out_rows = mh_local_rows(sl2, h_rows, layout)
+    np.savez(
+        f"{out}/p{pid}.npz",
+        pos=out_rows.pos, vel=out_rows.vel, K=out_rows.K,
+        gid=out_rows.gid, stats=mh.host_local(stats),
+        static_key=np.asarray(plan.static_key, np.int64),
+        d0=layout.d0, d1=layout.d1,
+        primary=mh.is_primary(),
+        fully_addressable=sl2.pos.is_fully_addressable,
+    )
+
+
 def main():
     pid = int(sys.argv[1])
     n_procs = int(sys.argv[2])
@@ -97,6 +271,8 @@ def main():
     mode = sys.argv[5]
     root = sys.argv[6] if len(sys.argv) > 6 else None
 
+    hb_start(out, pid)
+    hb_phase("jax-import")
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -104,21 +280,29 @@ def main():
 
     from sphtpu.shard import multihost as mh
 
+    hb_phase("distributed-init (Gloo rendezvous)")
     mh.initialize(
         coordinator_address=f"localhost:{port}",
         num_processes=n_procs,
         process_id=pid,
     )
+    hb_phase(f"rendezvous-done; mode={mode}")
     assert jax.process_count() == n_procs
-    assert len(jax.devices()) == 4 * n_procs, len(jax.devices())
+    # devices per process comes from the parent's XLA flag (4 for the
+    # work-sharded modes, 2 for the state-sharded slabs mode)
+    assert len(jax.devices()) % n_procs == 0, len(jax.devices())
 
     if mode == "force":
         mesh = mh.global_mesh()
+        hb_phase("force: plan+compile+run chunk")
         pos, vel, K, t, stats = run_force_chunk(mesh)
+        hb_phase("force: save")
         np.savez(
             f"{out}/p{pid}.npz", pos=pos, vel=vel, K=K, t=t, stats=stats,
             primary=mh.is_primary(),
         )
+    elif mode == "slabs":
+        run_slabs_sharded(pid, n_procs, out)
     elif mode == "driver":
         from sphtpu.engine import run_simulation
 

@@ -10,9 +10,15 @@ roundoff) and the max/median relative |dE| is reported.
 
 Usage: python iso_precision.py [n_steps=40] [N=100000]
 Writes iso_precision.json {max_rel_dE, median_rel_dE, n_steps, N}.
+
+Each lane runs in its OWN subprocess: jax_enable_x64 must be set before
+the backend initializes, and enabling it in the parent would silently
+promote the f32 lane's host-derived literals too. The parent only
+combines the two lanes' (t, E) trajectories.
 """
 
 import json
+import os
 import sys
 import tempfile
 import time
@@ -21,13 +27,16 @@ import numpy as np
 
 import jax
 
-if __name__ == "__main__" and "--f64" in sys.argv:
-    jax.config.update("jax_enable_x64", True)
+if __name__ == "__main__" and "--lane" in sys.argv:
+    _lane_dtype = sys.argv[sys.argv.index("--lane") + 1]
+    if _lane_dtype == "float64":
+        jax.config.update("jax_enable_x64", True)
 
 import jax.numpy as jnp  # noqa: E402
 
-N_STEPS = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 40
-N = int(sys.argv[2]) if len(sys.argv) > 2 and sys.argv[2].isdigit() else 100_000
+_POS_ARGS = [a for a in sys.argv[1:] if a.isdigit()]
+N_STEPS = int(_POS_ARGS[0]) if _POS_ARGS else 40
+N = int(_POS_ARGS[1]) if len(_POS_ARGS) > 1 else 100_000
 
 
 def run_lane(dtype: str, n_steps: int):
@@ -137,12 +146,36 @@ def run_lane(dtype: str, n_steps: int):
     return np.asarray(ts), np.asarray(Es)
 
 
+def _lane_main(dtype: str):
+    """Subprocess body: run one lane, print its trajectory as JSON."""
+    ts, Es = run_lane(dtype, N_STEPS)
+    print("LANE_JSON " + json.dumps({"t": ts.tolist(), "E": Es.tolist()}))
+
+
+def _run_lane_subprocess(dtype: str):
+    import subprocess
+
+    p = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), str(N_STEPS), str(N),
+         "--lane", dtype],
+        capture_output=True, text=True, timeout=7200,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    for line in p.stdout.splitlines():
+        if line.startswith("LANE_JSON "):
+            d = json.loads(line[len("LANE_JSON "):])
+            return np.asarray(d["t"]), np.asarray(d["E"])
+    raise RuntimeError(
+        f"{dtype} lane failed (rc={p.returncode}):\n{p.stderr[-2000:]}"
+    )
+
+
 def main():
     t0 = time.time()
-    t32, E32 = run_lane("float32", N_STEPS)
+    t32, E32 = _run_lane_subprocess("float32")
     print(f"f32 lane done in {time.time() - t0:.0f}s", flush=True)
     t0 = time.time()
-    t64, E64 = run_lane("float64", N_STEPS)
+    t64, E64 = _run_lane_subprocess("float64")
     print(f"f64 lane done in {time.time() - t0:.0f}s", flush=True)
     # interpolate the f64 E(t) onto the f32 time grid (dt sequences
     # differ microscopically), skipping the t=0 row
@@ -161,4 +194,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--lane" in sys.argv:
+        _lane_main(sys.argv[sys.argv.index("--lane") + 1])
+    else:
+        main()

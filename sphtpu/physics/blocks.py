@@ -81,8 +81,13 @@ BQ = int(os.environ.get("SPHTPU_BLOCKS_BQ", "128"))
 # (OCT_GMAX^3 ints).
 OCT_CF = float(os.environ.get("SPHTPU_BLOCKS_OCT_CF", "0.33"))
 OCT_GMAX = int(os.environ.get("SPHTPU_BLOCKS_OCT_GMAX", "128"))
-# candidate-capacity menu (block lists pad to the smallest fitting entry)
-C_MENU = (512, 768, 1024, 1536, 2048, 3072, 4096, 6144, 8192, 12288,
+# candidate-capacity menu (block lists pad to the smallest fitting
+# entry). Every entry is a multiple of the grouped phase-B chunk width
+# (kernels/pallas_grouped_pairs.CW = 512) so a block's candidate list is
+# a whole number of consecutive chunks — 768 was dropped for this
+# (blocks needing 513-768 pad to 1024; measured plan inflation < 2% on
+# the deep fixture, vs one merged kernel launch for the whole eval).
+C_MENU = (512, 1024, 1536, 2048, 3072, 4096, 6144, 8192, 12288,
           16384, 24576, 32768)
 # own-ball margin on the r_k hint: covers h growth between refreshes
 # (measured <= ~5%/step in deep collapse) + both partners' CFL drift
@@ -756,7 +761,7 @@ def build_cand_tables(bargs: BlockArgs, spec, n, *, axis=None, n_shards=1):
     jax.jit,
     static_argnames=(
         "eos", "kh", "spec", "gravity", "mesh_factor", "sigma_cells",
-        "axis", "n_shards", "pallas_a", "pallas_interpret",
+        "axis", "n_shards", "pallas_a", "pallas_interpret", "grouped",
     ),
 )
 def block_sph_forces(
@@ -781,6 +786,7 @@ def block_sph_forces(
     n_shards: int = 1,
     pallas_a: bool = None,
     pallas_interpret: bool = False,
+    grouped: bool = None,
     idx_tables: tuple = None,
 ):
     """Block-compact force evaluation. Same contract as tile_sph_forces /
@@ -867,13 +873,6 @@ def block_sph_forces(
             )
         return jnp.stack(covs, axis=1)
 
-    # planar padded candidate coordinates (sentinel at index n): gathered
-    # ONCE per bucket and shared by BOTH phases (below); the candidate
-    # mask needs no gather at all — it is idx < n
-    pcxp = padrow(pc[:, 0])
-    pcyp = padrow(pc[:, 1])
-    pczp = padrow(pc[:, 2])
-
     # per-bucket candidate index tables + bulk prestacked gathers: the
     # index build (run expansion) and HBM gathers run ONCE per bucket as
     # large flat ops; the mapped per-slab body then only slices — in-loop
@@ -884,7 +883,16 @@ def block_sph_forces(
         idx_tables = build_cand_tables(
             bargs, spec, n, axis=axis, n_shards=n_shards
         )
+    # ONE fused candidate-position row gather for ALL buckets: TPU
+    # gather cost is per index row, so the 3-wide minor dim rides along
+    # ~free — this replaces 3 per-bucket (nb_s * C_b)-row gathers
+    # (measured the hottest glue around the pair kernels, round 5)
+    idx_flat = jnp.concatenate([t.reshape(-1) for t in idx_tables.idx])
+    cpos_flat = padrow(pc)[idx_flat]  # (T, 3)
+    cmask_flat = (idx_flat < n).astype(dtype)  # (T,)
+    cpos3 = cpos_flat.T  # (3, T): contiguous per-axis bucket slices
     blk_base = 0
+    tab_base = 0
     bucket_geo = []  # (C_b, nb, b0, nb_s, q_base, idx_all, rows, boxes_s, cpre)
     for bi, ((C_b, nb), bx, rz) in enumerate(zip(buckets, bargs.boxes, runs_zy)):
         b0, nb_s = shard_blocks(nb)
@@ -892,15 +900,16 @@ def block_sph_forces(
         z32 = jnp.zeros((), jnp.int32)
         boxes_s = lax.dynamic_slice(bx, (b0, z32, z32), (nb_s, n_oct, 6))
         idx_all = idx_tables.idx[bi]  # (nb_s, C_b), hoisted per chunk
-        cpre = (
-            pcxp[idx_all], pcyp[idx_all], pczp[idx_all],
-            (idx_all < n).astype(dtype),
-        )
+        t0, t1 = tab_base, tab_base + nb_s * C_b
+        cpre = tuple(
+            cpos3[a, t0:t1].reshape(nb_s, C_b) for a in range(3)
+        ) + (cmask_flat[t0:t1].reshape(nb_s, C_b),)
         bucket_geo.append(
             (C_b, nb, b0, nb_s, blk_base, idx_all, idx_tables.rows[bi],
              boxes_s, cpre)
         )
         blk_base += nb * BQ
+        tab_base = t1
 
     def qslab(arr, q_base, b0, nb_s, width=None):
         """Slice a packed-query array into (nb_s, BQ[, width]) slabs."""
@@ -1101,8 +1110,108 @@ def block_sph_forces(
     # the candidate index tables. Gravity pair corrections use two-sided
     # ownership weights (0.5 when both rows see the pair, 1 when only
     # one does) so each pair integrates exactly once.
+    # grouped phase B (kernels/pallas_grouped_pairs.py): ONE pallas
+    # launch, ONE fused (T, 6) dynamic-field gather and ONE (T, 8)
+    # scatter-add for ALL buckets — the per-bucket path below pays ~58
+    # launches + ~10 per-field gathers per eval on the deep fixture
+    # (VERDICT r4 next-2). Requires every C_b to be a multiple of the
+    # chunk width (true for plans from the current C_MENU; legacy specs
+    # with 768-capacity buckets fall back to the per-bucket path).
+    from ..kernels.pallas_grouped_pairs import CW as _GCW
+
+    use_grouped = (
+        use_pallas_b
+        and _PHASE != "a"
+        and (
+            grouped
+            if grouped is not None
+            else os.environ.get("SPHTPU_BLOCKS_GROUPED", "1") != "0"
+        )
+        and all(C_b % _GCW == 0 for C_b, _ in buckets)
+    )
+
+    names = ("ax", "ay", "az", "div", "mu", "visc", "gx", "gy", "gz", "gp")
+    s_names = ("sax", "say", "saz", "svisc", "sgx", "sgy", "sgz", "sgp")
+    packed = {
+        k: (jnp.full((oq.shape[0],), -big, dtype) if k == "mu"
+            else jnp.zeros((oq.shape[0],), dtype))
+        for k in names
+    }
+    cacc = jnp.zeros((n + 1, 8), dtype)
+
+    if use_grouped:
+        from ..kernels.pallas_grouped_pairs import phase_b_grouped
+
+        # dynamic candidate fields: ONE fused row gather (the positions
+        # and mask were gathered once above, shared with phase A)
+        dyn = jnp.stack(
+            [vc[:, 0], vc[:, 1], vc[:, 2], hc, rhoc, por2c], axis=1
+        )  # (N, 6) candidate order
+        dyn_flat = padrow(dyn)[idx_flat]  # (T, 6)
+        cstack = jnp.concatenate(
+            [cpos_flat, dyn_flat, cmask_flat[:, None]], axis=1
+        )  # (T, 10): x y z vx vy vz h rho por2 mask
+        cstack = jnp.swapaxes(cstack.reshape(-1, _GCW, 10), 1, 2)
+
+        # device-local packed-query slabs, bucket-major (same order as
+        # the flat candidate table)
+        qarrs = (pqx, pqy, pqz, vqx, vqy, vqz, qmask, hq_full,
+                 rhoq_full, por2q_full, csq_full)
+        qparts = [[] for _ in qarrs]
+        qblk, first = [], []
+        blk_off = 0
+        for (C_b, nb, b0, nb_s, q_base, idx_all, rows_t, boxes_s, cpre) \
+                in bucket_geo:
+            for fi, arr in enumerate(qarrs):
+                qparts[fi].append(qslab(arr, q_base, b0, nb_s))
+            ck = C_b // _GCW
+            for j in range(nb_s):
+                qblk.extend([blk_off + j] * ck)
+                first.extend([1] + [0] * (ck - 1))
+            blk_off += nb_s
+        qfields = tuple(jnp.concatenate(p, axis=0) for p in qparts)
+
+        qouts, couts = phase_b_grouped(
+            qfields, cstack, m, alpha, beta, sigma, r_c_now,
+            eos=eos, p3m=p3m, cap=BQ, qblk=tuple(qblk),
+            first=tuple(first), interpret=pallas_interpret,
+        )
+
+        # per-bucket certificates + writes into the packed-query arrays
+        row_loc = 0
+        for (C_b, nb, b0, nb_s, q_base, idx_all, rows_t, boxes_s, cpre) \
+                in bucket_geo:
+            sl = slice(row_loc, row_loc + nb_s)
+            qxs, qys, qzs = (qfields[a][sl] for a in range(3))
+            qms = qfields[6][sl]
+            qhs = qfields[7][sl]
+            cov = jax.vmap(covered_radii)(qxs, qys, qzs, qms, boxes_s)
+            reach = jnp.maximum(
+                jnp.min(
+                    jnp.where(cov > 0, cov - dmax_o[None, None, :], big),
+                    axis=-1,
+                ),
+                0.0,
+            )
+            need = jnp.maximum(2.0 * qhs, r_c_now)
+            rows_ok = rows_ok & jnp.all((qms <= 0) | (need <= reach))
+            q0 = q_base + b0 * BQ
+            for k, qo in zip(names, qouts):
+                packed[k] = lax.dynamic_update_slice(
+                    packed[k], qo[sl].reshape(-1), (q0,)
+                )
+            row_loc += nb_s
+
+        # ONE fused row-order scatter-add over the whole flat table
+        rows_flat = jnp.concatenate(
+            [r.reshape(-1) for r in idx_tables.rows]
+        )
+        upd = jnp.swapaxes(couts, 1, 2).reshape(-1, 8)  # (T, 8)
+        cacc = cacc.at[rows_flat].add(upd)
+
     b_results = []
-    for (C_b, nb, b0, nb_s, q_base, idx_all, rows_t, boxes_s, cpre) in bucket_geo:
+    for (C_b, nb, b0, nb_s, q_base, idx_all, rows_t, boxes_s, cpre) in (
+            [] if use_grouped else bucket_geo):
         cxg, cyg, czg, cmg = cpre
         if use_pallas_b and _PHASE != "a":
             # VMEM-resident phase B (kernels/pallas_block_pairs.py): one
@@ -1282,22 +1391,15 @@ def block_sph_forces(
             ) + tuple(jnp.zeros((nb_s, C_b), dtype) for _ in range(8))
         b_results.append((outs, q_base, b0, nb_s, rows_t))
 
-    names = ("ax", "ay", "az", "div", "mu", "visc", "gx", "gy", "gz", "gp")
-    s_names = ("sax", "say", "saz", "svisc", "sgx", "sgy", "sgz", "sgp")
-    packed = {
-        k: (jnp.full((oq.shape[0],), -big, dtype) if k == "mu"
-            else jnp.zeros((oq.shape[0],), dtype))
-        for k in names
-    }
     # candidate-side accumulator, straight into ROW order (the hoisted
     # rows tables map table slots to particle rows; sentinel -> sink row
     # n), all 8 fields fused in the minor dim: ONE (M, 8) scatter-add
-    # per bucket. The previous eight 1-D candidate-order scatters plus
-    # the permutation scatters in unpack/scat were the force pass's
-    # hottest ops by far — the round-4 device trace showed ~19 ms per
-    # 1-D scatter-add, together more than half the dispatch (TPU scatter
-    # cost is per index ROW, so the 8-wide minor dim rides along ~free).
-    cacc = jnp.zeros((n + 1, 8), dtype)
+    # per bucket (or one TOTAL in the grouped path above). The previous
+    # eight 1-D candidate-order scatters plus the permutation scatters
+    # in unpack/scat were the force pass's hottest ops by far — the
+    # round-4 device trace showed ~19 ms per 1-D scatter-add, together
+    # more than half the dispatch (TPU scatter cost is per index ROW,
+    # so the 8-wide minor dim rides along ~free).
     for (outs, q_base, b0, nb_s, rows_t) in b_results:
         q0 = q_base + b0 * BQ
         for k, o in zip(names, outs[:10]):

@@ -374,29 +374,37 @@ def test_blocks_pallas_phase_b_matches_xla():
         red_x, gc_x, ok_x = block_sph_forces(
             P, V, m, Kj, H, dev32(args), pallas_a=False, **kw
         )
-        # pallas_interpret routes BOTH kernels (A and B) through
-        # interpret mode on CPU
-        red_p, gc_p, ok_p = block_sph_forces(
-            P, V, m, Kj, H, dev32(args), pallas_a=True,
-            pallas_interpret=True, **kw
-        )
-        assert bool(ok_x) and bool(ok_p)
-        for name, a, b in [
-            ("acc", red_x.acc, red_p.acc),
-            ("visc", red_x.visc_dk, red_p.visc_dk),
-            ("div", red_x.div_sum, red_p.div_sum),
-            ("g", gc_x[0], gc_p[0]),
-            ("phi", gc_x[3], gc_p[3]),
-        ]:
-            a, b = np.asarray(a), np.asarray(b)
-            sc = np.abs(a).max() + 1e-30
-            # 6e-6: the kernel evaluates the piecewise forms as
-            # polynomials in q = r * inv_h on rsqrt/reciprocals (the
-            # round-4 division diet) — algebraically identical to the
-            # XLA r/h^k forms (pinned at f64 roundoff by
-            # test_blocks_pallas_phase_b_f64_algebra) but reassociated,
-            # so f32 element noise runs to ~3e-6 relative
-            assert np.abs(a - b).max() / sc < 6e-6, (grav, name)
+        assert bool(ok_x)
+        # pallas_interpret routes the kernels through interpret mode on
+        # CPU; grouped=True is the production merged-launch kernel
+        # (kernels/pallas_grouped_pairs.py), grouped=False the
+        # per-bucket fallback (kernels/pallas_block_pairs.py) — BOTH
+        # must reproduce the XLA owner-sweep pass
+        for grouped in (True, False):
+            red_p, gc_p, ok_p = block_sph_forces(
+                P, V, m, Kj, H, dev32(args), pallas_a=True,
+                pallas_interpret=True, grouped=grouped, **kw
+            )
+            assert bool(ok_p), (grav, grouped)
+            for name, a, b in [
+                ("acc", red_x.acc, red_p.acc),
+                ("visc", red_x.visc_dk, red_p.visc_dk),
+                ("div", red_x.div_sum, red_p.div_sum),
+                ("mu", red_x.mu_max, red_p.mu_max),
+                ("g", gc_x[0], gc_p[0]),
+                ("phi", gc_x[3], gc_p[3]),
+            ]:
+                a, b = np.asarray(a), np.asarray(b)
+                sc = np.abs(a).max() + 1e-30
+                # 6e-6: the kernel evaluates the piecewise forms as
+                # polynomials in q = r * inv_h on rsqrt/reciprocals (the
+                # round-4 division diet) — algebraically identical to the
+                # XLA r/h^k forms (pinned at f64 roundoff by
+                # test_blocks_pallas_phase_b_f64_algebra) but
+                # reassociated, so f32 element noise runs to ~3e-6
+                assert np.abs(a - b).max() / sc < 6e-6, (
+                    grav, grouped, name,
+                )
 
 
 def test_blocks_pallas_phase_b_f64_algebra():

@@ -605,6 +605,28 @@ def main():
             else allpairs_gravity_counts(N),
         )
         out["roofline"] = roofline_report(cnt, elapsed / (BENCH_STEPS * 2))
+    # N=1e7 scale lane (VERDICT r4 next-7): measured by exp_scale.py
+    # (uniform + mild-contrast states, tile+P3M engine, driver-standard
+    # 2-step dispatches) and committed as bench_data/scale_1e7.json —
+    # the lane costs ~2 min of host kNN + a large fresh compile, too
+    # slow to re-pay on every bench run.
+    scale_path = os.path.join("bench_data", "scale_1e7.json")
+    if os.path.exists(scale_path):
+        with open(scale_path) as f:
+            scale = json.load(f)
+        for kind, r in scale.items():
+            out[f"scale_{kind}_n"] = r.get("n_particles")
+            out[f"scale_{kind}_particle_steps_per_s"] = r.get(
+                "particle_steps_per_s"
+            )
+            out[f"scale_{kind}_ms_per_force_pass"] = r.get(
+                "ms_per_force_pass"
+            )
+            out[f"scale_{kind}_fallback_evals"] = r.get("fallback_evals")
+            out[f"scale_{kind}_peak_hbm_bytes"] = r.get("peak_hbm_bytes")
+        out["scale_note"] = (
+            "committed exp_scale.py artifact (bench_data/scale_1e7.json)"
+        )
     out.update(bench_hard_regime())
     try:
         out.update(bench_isothermal())

@@ -1,0 +1,173 @@
+"""N=1e7 single-chip scale lane (VERDICT r4 next-7).
+
+One order of magnitude past the round-3 stretch (N=2e6): step a uniform
+sphere AND a mild-contrast gaussian sphere at N=1e7 on one chip with the
+production tile engine + P3M gravity, under the driver's dispatch-wall
+rules (2-step dispatches), and record throughput + peak-HBM figures.
+
+The reference cannot represent this regime at all: its octree walk and
+kNN build are serial per-particle host loops (gravOctree_Single.jl:239-
+278), ~hours/step at N=1e7.
+
+Writes bench_data/scale_1e7.json; bench.py surfaces the committed
+artifact as scale_* keys (the lane costs a large fresh compile + ~2 min
+of host kNN, too slow to re-pay on every bench run).
+
+Usage: python exp_scale.py [N] [--state uniform|contrast|both]
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+N = int(float(sys.argv[1])) if len(sys.argv) > 1 and sys.argv[1][0].isdigit() \
+    else 10_000_000
+KH = 50
+SUB = 2  # driver-standard dispatch length at this scale (wall budget)
+TIMED_STEPS = 4
+
+
+def make_state(kind: str, n: int):
+    rng = np.random.default_rng(11)
+    if kind == "uniform":
+        u = rng.random((n, 3))
+        r = u[:, 0] ** (1 / 3)
+    else:
+        # mild-contrast gaussian profile (rho ~ exp(-r^2 / 2 sigma^2),
+        # sigma = R/3, truncated at R): central-to-edge density contrast
+        # ~ e^{4.5} ~ 90 — the "mild contrast" regime
+        from scipy.special import gammainc
+
+        u = rng.random((n, 3))
+        # inverse CDF of the 3D gaussian radial mass profile by table
+        rr = np.linspace(0, 1.0, 4097)
+        sig = 1.0 / 3.0
+        cdf = gammainc(1.5, 0.5 * (rr / sig) ** 2)
+        cdf /= cdf[-1]
+        r = np.interp(u[:, 0], cdf, rr)
+    costh = 2 * u[:, 1] - 1
+    ph = 2 * np.pi * u[:, 2]
+    sinth = np.sqrt(1 - costh**2)
+    pos = np.stack(
+        [r * sinth * np.cos(ph), r * sinth * np.sin(ph), r * costh], axis=1
+    ).astype(np.float64)
+    vel = (0.02 * rng.standard_normal((n, 3))).astype(np.float64)
+    return pos, vel
+
+
+def run_lane(kind: str):
+    from scipy.spatial import cKDTree
+
+    from sphtpu.engine import EngineConfig, Params, State, make_chunk_runner
+    from sphtpu.physics.tiles import choose_tile_params, choose_tile_params_ml
+
+    print(f"[{kind}] building state N={N}", flush=True)
+    pos, vel = make_state(kind, N)
+    t0 = time.time()
+    d_knn, _ = cKDTree(pos).query(pos, k=KH, workers=-1)
+    h0 = (d_knn[:, -1] / 2.0).astype(np.float64)
+    print(f"[{kind}] host kNN {time.time() - t0:.0f}s "
+          f"h_ratio={h0.max() / h0.min():.1f}", flush=True)
+
+    budget = 0
+    tp = choose_tile_params(pos, h0, KH)
+    if tp is None:
+        tpo = choose_tile_params_ml(pos, h0, KH)
+        assert tpo is not None, "no certifiable tile config at this state"
+        grid, cap, budget = tpo
+        tp = (grid, cap)
+    jd = jnp.float32
+    cfg = EngineConfig(
+        n=N, kh=KH, eos="polytropic", dtype="float32", tile=tp,
+        gravity="p3m", outlier_budget=budget,
+    )
+    print(f"[{kind}] tile={tp} budget={budget} mesh_gm={cfg.mesh_gm} "
+          f"pad={cfg.mesh_pad} c_halfwidth={cfg.c_halfwidth}", flush=True)
+    params = Params(
+        m=jnp.asarray(1.0 / N, jd),
+        gamma=jnp.asarray(5.0 / 3.0, jd),
+        cs0=jnp.asarray(0.0, jd),
+        alpha=jnp.asarray(1.0, jd),
+        beta=jnp.asarray(2.0, jd),
+        U0=jnp.asarray(0.0, jd),
+        t_end=jnp.asarray(1e30, jd),
+    )
+    state = State(
+        pos=jnp.asarray(pos, jd),
+        vel=jnp.asarray(vel, jd),
+        K=jnp.asarray(np.full(N, 0.02), jd),
+        t=jnp.asarray(0.0, jd),
+    )
+    h_dev = jnp.asarray(h0, jd)
+    chunk = make_chunk_runner(cfg)
+
+    def fetch(tree):
+        return [np.asarray(x).ravel()[:1] for x in jax.tree.leaves(tree)]
+
+    t0 = time.time()
+    st, stats, valid, h_w, _, nfb = chunk(
+        state, params, h_dev, n_steps=SUB, scan_length=SUB
+    )
+    fetch((stats, valid, nfb))
+    compile_s = time.time() - t0
+    assert bool(np.asarray(valid).all()), "scale steps must execute"
+    print(f"[{kind}] compile+warm {compile_s:.0f}s", flush=True)
+
+    steps = 0
+    t0 = time.time()
+    while steps < TIMED_STEPS:
+        st, stats, valid, h_w, _, nfb = chunk(
+            st, params, h_w, n_steps=SUB, scan_length=SUB
+        )
+        fetch((stats, valid, nfb))
+        assert bool(np.asarray(valid).all())
+        steps += SUB
+    elapsed = time.time() - t0
+
+    mem = None
+    try:
+        ms = jax.devices()[0].memory_stats()
+        if ms:
+            mem = int(ms.get("peak_bytes_in_use", 0))
+    except Exception:
+        pass
+
+    out = {
+        "n_particles": N,
+        "state": kind,
+        "particle_steps_per_s": round(N * steps / elapsed, 1),
+        "ms_per_force_pass": round(elapsed / (steps * 2) * 1e3, 1),
+        "fallback_evals": int(np.asarray(nfb).sum()),
+        "tile": list(tp),
+        "outlier_budget": budget,
+        "mesh_pad": cfg.mesh_pad,
+        "compile_and_warm_s": round(compile_s, 1),
+        "peak_hbm_bytes": mem,
+        "h_ratio": round(float(h0.max() / h0.min()), 1),
+    }
+    print(json.dumps(out), flush=True)
+    return out
+
+
+def main():
+    which = "both"
+    if "--state" in sys.argv:
+        which = sys.argv[sys.argv.index("--state") + 1]
+    lanes = ("uniform", "contrast") if which == "both" else (which,)
+    results = {}
+    for kind in lanes:
+        results[kind] = run_lane(kind)
+    os.makedirs("bench_data", exist_ok=True)
+    with open("bench_data/scale_1e7.json", "w") as f:
+        json.dump(results, f, indent=1)
+    print("wrote bench_data/scale_1e7.json", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -49,12 +49,15 @@ ML_SUBCHUNK = 2
 
 # Hard cap on steps per jitted lax.scan dispatch. Measured on the v5e
 # (BASELINE.md "scan length" table): throughput is flat from 2 to 10
-# steps/chunk (~0.80 s/step at N=1e5), but 20-step scans reproducibly
-# crash the TPU worker ("kernel fault") during compile/first run. The
-# driver therefore dispatches at most this many steps per chunk and
-# loops; the snapshot cadence is unaffected (the boundary counter
-# advances by executed steps, so partial chunks re-align on the next
-# dispatch).
+# steps/chunk, but 20-step scans reproducibly crash the TPU worker
+# ("kernel fault"). Round-5 probe (exp_scan20.py): the crash reproduces
+# on the static-scan-length program at ~7 s of wall — it tracks the
+# scan LENGTH of the force-eval body, not wall duration (the watchdog
+# below) and not the compilation strategy; a measured backend (axon
+# tunnel) ceiling, not folklore. The driver therefore dispatches at
+# most this many steps per chunk and loops; the snapshot cadence is
+# unaffected (the boundary counter advances by executed steps, so
+# partial chunks re-align on the next dispatch).
 MAX_SCAN_STEPS = 10
 
 # Single-dispatch device wall-clock budget. dispatch_stress.py (round 4)
@@ -65,9 +68,9 @@ MAX_SCAN_STEPS = 10
 # the SPH program. The driver measures s/step per engine config and
 # sizes every dispatch to stay under this budget (first dispatch of a
 # config is a short probe — it is compile-dominated anyway). The
-# MAX_SCAN_STEPS=10 ceiling stays on top: the 20-step crash at N=1e5
-# happened at ~16 s of expected wall, below the watchdog, so one
-# unexplained failure mode remains and the empirical ceiling guards it.
+# MAX_SCAN_STEPS=10 ceiling stays on top: it guards the INDEPENDENT
+# scan-length fault (see above — reproduced at 7 s wall, far below this
+# watchdog).
 DISPATCH_WALL_BUDGET_S = 40.0
 
 

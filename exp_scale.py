@@ -29,8 +29,11 @@ import jax.numpy as jnp
 N = int(float(sys.argv[1])) if len(sys.argv) > 1 and sys.argv[1][0].isdigit() \
     else 10_000_000
 KH = 50
-SUB = 2  # driver-standard dispatch length at this scale (wall budget)
 TIMED_STEPS = 4
+# cap headroom: 1.1 shaves the slot planes ~25% vs the planner's 1.25
+# default (the certificate still guards drift — a tight cap can only
+# cost a fallback, never wrong physics)
+HEADROOM = float(os.environ.get("SPHTPU_SCALE_HEADROOM", "1.1"))
 
 
 def make_state(kind: str, n: int):
@@ -64,28 +67,40 @@ def make_state(kind: str, n: int):
 def run_lane(kind: str):
     from scipy.spatial import cKDTree
 
-    from sphtpu.engine import EngineConfig, Params, State, make_chunk_runner
+    from sphtpu.engine import EngineConfig, Params, State
     from sphtpu.physics.tiles import choose_tile_params, choose_tile_params_ml
 
-    print(f"[{kind}] building state N={N}", flush=True)
-    pos, vel = make_state(kind, N)
-    t0 = time.time()
-    d_knn, _ = cKDTree(pos).query(pos, k=KH, workers=-1)
-    h0 = (d_knn[:, -1] / 2.0).astype(np.float64)
-    print(f"[{kind}] host kNN {time.time() - t0:.0f}s "
-          f"h_ratio={h0.max() / h0.min():.1f}", flush=True)
+    cache = f"/tmp/scale_state_{kind}_{N}.npz"
+    if os.path.exists(cache):
+        d = np.load(cache)
+        pos, vel, h0 = d["pos"], d["vel"], d["h0"]
+        print(f"[{kind}] state + kNN from cache", flush=True)
+    else:
+        print(f"[{kind}] building state N={N}", flush=True)
+        pos, vel = make_state(kind, N)
+        t0 = time.time()
+        d_knn, _ = cKDTree(pos).query(pos, k=KH, workers=-1)
+        h0 = (d_knn[:, -1] / 2.0).astype(np.float64)
+        print(f"[{kind}] host kNN {time.time() - t0:.0f}s "
+              f"h_ratio={h0.max() / h0.min():.1f}", flush=True)
+        np.savez(cache, pos=pos, vel=vel, h0=h0)
 
     budget = 0
-    tp = choose_tile_params(pos, h0, KH)
+    tp = choose_tile_params(pos, h0, KH, headroom=HEADROOM)
     if tp is None:
-        tpo = choose_tile_params_ml(pos, h0, KH)
+        tpo = choose_tile_params_ml(pos, h0, KH, headroom=HEADROOM)
         assert tpo is not None, "no certifiable tile config at this state"
         grid, cap, budget = tpo
         tp = (grid, cap)
     jd = jnp.float32
+    mf = int(os.environ.get("SPHTPU_SCALE_MESH_FACTOR", "5"))
     cfg = EngineConfig(
         n=N, kh=KH, eos="polytropic", dtype="float32", tile=tp,
-        gravity="p3m", outlier_budget=budget,
+        gravity="p3m", outlier_budget=budget, mesh_factor=mf,
+        # the gather fallback branch's (N, Kh) planes alone are ~30+ GB
+        # at N=1e7 — compile without it; a failed cert discards the step
+        # and this script re-plans (EngineConfig.fallback)
+        fallback="none",
     )
     print(f"[{kind}] tile={tp} budget={budget} mesh_gm={cfg.mesh_gm} "
           f"pad={cfg.mesh_pad} c_halfwidth={cfg.c_halfwidth}", flush=True)
@@ -105,29 +120,74 @@ def run_lane(kind: str):
         t=jnp.asarray(0.0, jd),
     )
     h_dev = jnp.asarray(h0, jd)
-    chunk = make_chunk_runner(cfg)
+
+    # Two dispatches per KDK step (one per force evaluation): a single
+    # fused step at N=1e7 runs ~80-100 s of device wall, past the ~55 s
+    # dispatch watchdog (BASELINE.md round 4) — the step must be SPLIT
+    # across dispatches at this scale. Same math as engine/step.make_step,
+    # same force_eval; the split point is the half-step state.
+    from sphtpu.engine.step import _adaptive_dt, _diagnostics, force_eval
+    from sphtpu.physics import evolve_K
+    from sphtpu.physics.mesh_gravity import greens_hat
+
+    # ghat/params must be jit ARGUMENTS: closure-captured device arrays
+    # get baked as program constants, which forces a (1.8 GB) device->
+    # host copy at trace time — unimplemented on the axon backend
+    ghat = jax.jit(
+        lambda: greens_hat(cfg.mesh_pad, cfg.sigma_cells, jd)
+    )()
+
+    @jax.jit
+    def d1(st, p, gh, h_hint):
+        pos, vel, K = st.pos, st.vel, st.K
+        acc, sf, phi, fb1 = force_eval(cfg, p, pos, vel, K, h_hint, gh)
+        dt = _adaptive_dt(p, sf, acc, vel)
+        vel_r2 = jnp.sum(vel * vel, axis=1)
+        stats = _diagnostics(cfg, p, st, sf, phi, vel_r2)
+        pos_half = pos + vel * (dt / 2.0)
+        vel_half = vel + acc * (dt / 2.0)
+        K_mid = evolve_K(K, sf.visc_dk, p.gamma, sf.rho, dt)
+        return pos_half, vel_half, K_mid, dt, stats, sf.h, fb1
+
+    @jax.jit
+    def d2(st, p, gh, pos_half, vel_half, K_mid, dt, h_sf):
+        acc2, sf2, _, fb2 = force_eval(
+            cfg, p, pos_half, vel_half, K_mid, h_sf, gh
+        )
+        K_new = evolve_K(K_mid, sf2.visc_dk, p.gamma, sf2.rho, dt)
+        vel_new = st.vel + acc2 * dt
+        pos_new = st.pos + vel_new * dt - 0.5 * acc2 * dt**2
+        return (
+            State(pos_new, vel_new, K_new, st.t + dt), sf2.h, fb2,
+        )
 
     def fetch(tree):
         return [np.asarray(x).ravel()[:1] for x in jax.tree.leaves(tree)]
 
+    def one_step(st, h):
+        ph, vh, km, dt, stats, h_sf, fb1 = d1(st, params, ghat, h)
+        fetch((fb1,))  # dispatch boundary: keep each under the watchdog
+        st2, h2, fb2 = d2(st, params, ghat, ph, vh, km, dt, h_sf)
+        fetch((fb2,))
+        assert int(np.asarray(fb1)) == 0 and int(np.asarray(fb2)) == 0, (
+            "certificate must hold on the scale lane"
+        )
+        return st2, h2, stats
+
     t0 = time.time()
-    st, stats, valid, h_w, _, nfb = chunk(
-        state, params, h_dev, n_steps=SUB, scan_length=SUB
-    )
-    fetch((stats, valid, nfb))
+    st, h_w, stats = one_step(state, h_dev)
+    fetch((stats,))
     compile_s = time.time() - t0
-    assert bool(np.asarray(valid).all()), "scale steps must execute"
     print(f"[{kind}] compile+warm {compile_s:.0f}s", flush=True)
 
     steps = 0
+    nfb = jnp.zeros((1,), jnp.int32)
     t0 = time.time()
     while steps < TIMED_STEPS:
-        st, stats, valid, h_w, _, nfb = chunk(
-            st, params, h_w, n_steps=SUB, scan_length=SUB
-        )
-        fetch((stats, valid, nfb))
-        assert bool(np.asarray(valid).all())
-        steps += SUB
+        st, h_w, stats = one_step(st, h_w)
+        fetch((stats,))
+        assert np.isfinite(np.asarray(stats)).all()
+        steps += 1
     elapsed = time.time() - t0
 
     mem = None

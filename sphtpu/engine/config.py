@@ -67,10 +67,21 @@ class EngineConfig:
     # drift refreshes them into the same compiled spec
     # (block_args_for_spec) without recompiling.
     blocks: tuple = None
+    # certification-failure response. "gather": lax.cond fallback to the
+    # exact gather engine (the default — stale plans cost speed, never
+    # correctness). "none": the fallback branch is NOT compiled into the
+    # program; a failed certificate DISCARDS the step (state returned
+    # unchanged, stats zeroed, n_fallbacks counts it) and the caller must
+    # replan + re-dispatch. Use at scales where the gather engine's
+    # (N, Kh) planes cannot exist (N >= ~5e6 on 16 GB HBM: the fallback
+    # branch alone demands ~30+ GB inside the compiled program).
+    fallback: str = "gather"
 
     def __post_init__(self):
         if self.eos not in ("polytropic", "isothermal"):
             raise ValueError(f"unknown EOS {self.eos!r}")
+        if self.fallback not in ("gather", "none"):
+            raise ValueError(f"unknown fallback mode {self.fallback!r}")
         if self.gravity not in ("exact", "p3m"):
             raise ValueError(f"unknown gravity mode {self.gravity!r}")
         if (

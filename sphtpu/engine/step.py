@@ -114,7 +114,12 @@ def force_eval(
             g, phi = gravity_allpairs(pos, red.h, p.m)
             return red, red.acc - g, phi
 
-        red, acc, phi = lax.cond(ok, blk_branch, blk_fallback)
+        if cfg.fallback == "none":
+            # failed certs are discarded by make_step; the gather
+            # branch never enters the program (see EngineConfig)
+            red, acc, phi = blk_branch()
+        else:
+            red, acc, phi = lax.cond(ok, blk_branch, blk_fallback)
         return acc, red, phi, ~ok
 
     if cfg.mlevel is not None:
@@ -178,7 +183,12 @@ def force_eval(
             g, phi = gravity_allpairs(pos, red.h, p.m)
             return red, red.acc - g, phi
 
-        red, acc, phi = lax.cond(ok, ml_branch, ml_fallback)
+        if cfg.fallback == "none":
+            # failed certs are discarded by make_step; the gather
+            # branch never enters the program (see EngineConfig)
+            red, acc, phi = ml_branch()
+        else:
+            red, acc, phi = lax.cond(ok, ml_branch, ml_fallback)
         return acc, red, phi, ~ok
 
     if cfg.tile is not None and cfg.tile_classes is not None:
@@ -227,7 +237,12 @@ def force_eval(
             g, phi = gravity_allpairs(pos, red.h, p.m)
             return red, red.acc - g, phi
 
-        red, acc, phi = lax.cond(ok, ctile_branch, ctile_fallback)
+        if cfg.fallback == "none":
+            # failed certs are discarded by make_step; the gather
+            # branch never enters the program (see EngineConfig)
+            red, acc, phi = ctile_branch()
+        else:
+            red, acc, phi = lax.cond(ok, ctile_branch, ctile_fallback)
         return acc, red, phi, ~ok
 
     if cfg.tile is not None:
@@ -293,7 +308,12 @@ def force_eval(
             g, phi = gravity_allpairs(pos, red.h, p.m)
             return red, red.acc - g, phi
 
-        red, acc, phi = lax.cond(ok, tile_branch, fallback_branch)
+        if cfg.fallback == "none":
+            # failed certs are discarded by make_step; the gather
+            # branch never enters the program (see EngineConfig)
+            red, acc, phi = tile_branch()
+        else:
+            red, acc, phi = lax.cond(ok, tile_branch, fallback_branch)
         return acc, red, phi, ~ok
 
     with stage("hydro_gather"):
@@ -367,6 +387,27 @@ def make_step(cfg: EngineConfig):
         vel_new = vel + acc2 * dt
         pos_new = pos + vel_new * dt - 0.5 * acc2 * dt**2
         n_fb = fb1.astype(jnp.int32) + fb2.astype(jnp.int32)
+        if cfg.fallback == "none":
+            # a failed certificate means the (uncertified) forces above
+            # are not trusted: DISCARD the step — state unchanged, stats
+            # zeroed, n_fb tells the caller to replan and re-dispatch.
+            # Never wrong physics, exactly like the gather fallback, but
+            # without compiling the gather engine into the program.
+            keep = n_fb == 0
+
+            def pick(a, b):
+                return jnp.where(keep, a, b)
+
+            return (
+                State(
+                    pick(pos_new, pos), pick(vel_new, vel),
+                    pick(K, state.K), jnp.where(keep, state.t + dt, state.t),
+                ),
+                jnp.where(keep, stats, jnp.zeros_like(stats)),
+                pick(sf2.h, h_hint),
+                pick(sf2.rho, jnp.zeros_like(sf2.rho)),
+                n_fb,
+            )
         return (
             State(pos_new, vel_new, K, state.t + dt),
             stats,

@@ -494,3 +494,70 @@ def test_blocks_refit_margin_ladder():
     assert bool(ok), "ladder refit must still certify"
     sf, g_soft, phi_soft = _oracle(P, V, m, Kj, kh)
     _assert_parity(red, gcorr, sf, g_soft, phi_soft, pos, m)
+
+
+def test_fallback_none_discards_failed_steps():
+    """EngineConfig.fallback="none" (the N>=1e7 scale mode): the gather
+    branch never enters the program; a step whose certificate fails is
+    DISCARDED (state unchanged, stats zeroed, n_fb counts it), and on a
+    healthy plan the mode is bit-identical to the default path."""
+    import jax
+
+    from sphtpu.engine import EngineConfig, Params, State, make_chunk_runner
+    from sphtpu.physics.tiles import choose_tile_params
+
+    rng = np.random.default_rng(5)
+    n, kh = 1500, 12
+    u = rng.random((n, 3))
+    r = u[:, 0] ** (1 / 3)
+    costh = 2 * u[:, 1] - 1
+    ph = 2 * np.pi * u[:, 2]
+    sinth = np.sqrt(1 - costh**2)
+    pos = np.stack(
+        [r * sinth * np.cos(ph), r * sinth * np.sin(ph), r * costh], axis=1
+    )
+    from scipy.spatial import cKDTree
+
+    h0 = cKDTree(pos).query(pos, k=kh)[0][:, -1] / 2.0
+    tp = choose_tile_params(pos, h0, kh)
+    assert tp is not None
+    jd = jnp.float32
+    params = Params(
+        m=jnp.asarray(1.0 / n, jd), gamma=jnp.asarray(5 / 3, jd),
+        cs0=jnp.asarray(0.0, jd), alpha=jnp.asarray(1.0, jd),
+        beta=jnp.asarray(2.0, jd), U0=jnp.asarray(0.0, jd),
+        t_end=jnp.asarray(1e30, jd),
+    )
+    state = State(
+        pos=jnp.asarray(pos, jd),
+        vel=jnp.asarray(0.05 * rng.standard_normal((n, 3)), jd),
+        K=jnp.asarray(0.02 + 0.002 * rng.random(n), jd),
+        t=jnp.asarray(0.0, jd),
+    )
+    h_dev = jnp.asarray(h0, jd)
+    kw = dict(n=n, kh=kh, eos="polytropic", dtype="float32", tile=tp)
+    chunk_g = make_chunk_runner(EngineConfig(**kw))
+    chunk_n = make_chunk_runner(EngineConfig(**kw, fallback="none"))
+
+    # healthy plan: both modes advance identically (to f32 ulp — the
+    # removed lax.cond changes XLA's fusion choices), zero fallbacks
+    sg, stg, vg, hg, _, nfg = chunk_g(state, params, h_dev, n_steps=2)
+    sn, stn, vn, hn, _, nfn = chunk_n(state, params, h_dev, n_steps=2)
+    assert int(np.asarray(nfg).sum()) == 0 and int(np.asarray(nfn).sum()) == 0
+    np.testing.assert_allclose(
+        np.asarray(sg.pos), np.asarray(sn.pos), rtol=1e-6, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(stg), np.asarray(stn), rtol=1e-5, atol=1e-7
+    )
+
+    # broken cert (grid far too FINE: cell edge < r_k, so the 27-cell
+    # stencil cannot cover the kNN ball): "none" must DISCARD — state
+    # bit-unchanged, stats zeroed, fallbacks counted
+    cfg_bad = EngineConfig(**{**kw, "tile": (32, 64)}, fallback="none")
+    chunk_b = make_chunk_runner(cfg_bad)
+    sb, stb, vb, hb, _, nfb = chunk_b(state, params, h_dev, n_steps=1)
+    assert int(np.asarray(nfb).sum()) > 0, "coarse grid must fail the cert"
+    np.testing.assert_array_equal(np.asarray(sb.pos), np.asarray(state.pos))
+    assert float(np.asarray(sb.t)) == 0.0
+    assert np.all(np.asarray(stb) == 0.0)

@@ -93,10 +93,19 @@ def run_lane(kind: str):
         grid, cap, budget = tpo
         tp = (grid, cap)
     jd = jnp.float32
-    mf = int(os.environ.get("SPHTPU_SCALE_MESH_FACTOR", "5"))
+    # P3M geometry at grid ~75: the padded FFT must stay <= ~512 per
+    # edge (TPU FFT workspace at pad 768 demanded 38.6 GB — measured
+    # compile OOM), so mesh_factor=5's pad-768 mesh is out. mesh_factor
+    # = 3 with sigma_cells = 1.35 keeps the tail stencil at 5^3
+    # (c_halfwidth = ceil(4.4 * 1.35 / 3) = 2) on a pad-480 mesh; the
+    # narrower Gaussian costs ~1.6x mesh-machinery error (still ~1e-3
+    # rms class, the reference-octree accuracy neighborhood).
+    mf = int(os.environ.get("SPHTPU_SCALE_MESH_FACTOR", "3"))
+    sc = float(os.environ.get("SPHTPU_SCALE_SIGMA_CELLS", "1.35"))
     cfg = EngineConfig(
         n=N, kh=KH, eos="polytropic", dtype="float32", tile=tp,
         gravity="p3m", outlier_budget=budget, mesh_factor=mf,
+        sigma_cells=sc,
         # the gather fallback branch's (N, Kh) planes alone are ~30+ GB
         # at N=1e7 — compile without it; a failed cert discards the step
         # and this script re-plans (EngineConfig.fallback)
